@@ -1,0 +1,231 @@
+"""Vectorized transcript parsing — the engine's hot path.
+
+One ``mapInPandas`` stage turns the transcripts table into parsed records
+plus routed parse errors (SURVEY.md §2.2 P1-P8 collapsed into a single
+Arrow-batched operator; the reference spends src/sqllog/{parser,io,utils}.rs
+on the same job row-at-a-time).
+
+Design: per Arrow batch, rows are split into
+  - FAST PATH (the overwhelming majority): no U+FFFD, exactly one segment
+    whose header starts on the first line — handled entirely with pandas
+    vectorized string ops (C-level regex over the whole column, zero
+    per-row Python).
+  - SLOW PATH (rare: multi-segment turns, U+FFFD repair, junk-leading
+    text): delegated per-row to the pure-Python oracle state machine,
+    which IS the reference semantics (oracle.py).
+
+Both paths produce identical semantics; pytest cross-checks the fast path
+against the oracle on every grammar class (tests/test_spark_parser.py).
+
+Scale note: this operator is *narrow* (no shuffle) — it scales linearly
+with input partitions, which is what the ≥0.8 two-cluster-size scaling
+efficiency requirement needs.  Regexes compile once per Python worker
+(module scope), mirroring the reference's lazy_static (parser.rs:78-80).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from sqllog_analysis_spark import oracle
+from sqllog_analysis_spark.schema import PARSED_SCHEMA
+
+# Segment-start *shape* at line starts (full calendar validity is checked
+# separately via to_datetime — a shape-valid but calendar-invalid line, e.g.
+# 2025-02-30, is a continuation line, utils.rs:59-93).
+_TS_LINE_SHAPE = (
+    r"(?m)^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}"
+)
+
+_PARSED_COLS = [f.name for f in PARSED_SCHEMA.fields]
+
+_EMPTY = {
+    "occurrence_time": None,
+    "ep": None,
+    "session": None,
+    "thread": None,
+    "user": None,
+    "trx_id": None,
+    "statement": None,
+    "appname": None,
+    "ip": None,
+    "sql_type": None,
+    "description": None,
+    "execute_time": None,
+    "rowcount": None,
+    "execute_id": None,
+    "error": None,
+    "error_class": None,
+    "error_line": None,
+    "raw": None,
+}
+
+
+def _lenient_i64(s: pd.Series, max_val: int) -> pd.Series:
+    """Vectorized Rust ``parse::<iN>().ok()``: ASCII digits only, overflow →
+    NA.  Input is a string Series (may hold NaN)."""
+    ok = s.str.fullmatch(r"[0-9]{1,18}", na=False)
+    out = pd.Series(pd.NA, index=s.index, dtype="Int64")
+    out[ok] = s[ok].astype("int64")
+    # 19+-digit strings: accept iff numerically within range
+    long = s.str.fullmatch(r"[0-9]{19,}", na=False)
+    if long.any():
+        vals = s[long].str.lstrip("0")
+        fit = vals.map(lambda v: v != "" and len(v) <= 19 and int(v) <= max_val)
+        out[long[long].index[fit]] = vals[fit].map(int).astype("int64")
+    out[out > max_val] = pd.NA
+    return out
+
+
+def _normalize(text: pd.Series) -> pd.Series:
+    """Per-line normalization (parser.rs:346-349): strip leading
+    space/tab/U+FFFD and trailing CRs from every line."""
+    t = text.str.replace(r"(?m)^[ \t�]+", "", regex=True)
+    return t.str.replace(r"\r+(?=\n|$)", "", regex=True)
+
+
+def _fast_parse(pdf: pd.DataFrame, norm: pd.Series) -> pd.DataFrame:
+    """Single-segment turns: one vectorized header extract + metric extract.
+
+    ``norm`` is the normalized text; every row is guaranteed (by the
+    classifier) to be exactly one segment whose first line is a valid
+    timestamp line.  Flush line number = lines-in-segment + 1
+    (parser.rs:359-367 quirk)."""
+    out = pdf[["conv_id", "turn_idx", "role", "tool", "ts"]].copy()
+    out["rec_idx"] = np.int32(0)
+    nlines = norm.str.count("\n").astype("int64") + 1
+
+    g = norm.str.extract(oracle.HEADER_RE)  # 11 groups, re.search semantics
+    matched = g[0].notna()
+
+    ep = _lenient_i64(g[1], oracle.I32_MAX)
+    ok = matched & ep.notna()
+
+    def nullable(col: pd.Series) -> pd.Series:
+        return col.mask(col == "NULL")
+
+    desc = g[10]
+    # Rust lines().last(): drop one trailing \n, take after last \n, drop one \r
+    last = (
+        desc.str.replace(r"\n$", "", regex=True)
+        .str.rsplit("\n", n=1)
+        .str[-1]
+        .str.replace(r"\r$", "", regex=True)
+    )
+    m = last.str.extract(oracle.METRICS_RE)
+
+    out["occurrence_time"] = g[0].where(ok)
+    out["ep"] = ep.where(ok)
+    out["session"] = nullable(g[2]).where(ok)
+    out["thread"] = g[3].mask(g[3] == "NULL").where(ok)  # '-1' kept
+    out["user"] = nullable(g[4]).where(ok)
+    out["trx_id"] = nullable(g[5]).where(ok)
+    out["statement"] = nullable(g[6]).where(ok)
+    out["appname"] = g[7].mask(g[7] == "").where(ok)
+    out["ip"] = g[8].mask(g[8] == "").where(ok)
+    out["sql_type"] = g[9].where(ok)
+    out["description"] = desc.where(ok)
+    out["execute_time"] = _lenient_i64(m[0], oracle.I64_MAX).where(ok)
+    out["rowcount"] = _lenient_i64(m[1], oracle.I64_MAX).where(ok)
+    out["execute_id"] = _lenient_i64(m[2], oracle.I64_MAX).where(ok)
+
+    bad = ~ok
+    err_line = nlines + 1
+    out["error"] = pd.Series(None, index=pdf.index, dtype="object")
+    if bad.any():
+        out.loc[bad, "error"] = (
+            "日志格式错误: 行" + err_line[bad].astype(str) + ": " + norm[bad]
+        )
+    out["error_class"] = pd.Series("Format", index=pdf.index).where(bad)
+    out["error_line"] = err_line.astype("Int64").where(bad)
+    out["raw"] = norm.where(bad)
+    out["has_ts"] = True
+    return out
+
+
+def _slow_parse(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Rare shapes → the oracle state machine, one turn at a time."""
+    rows: list[dict] = []
+    for t in pdf.itertuples(index=False):
+        records, errors, has_ts = oracle.parse_turn_text(t.text or "")
+        base = {
+            "conv_id": t.conv_id,
+            "turn_idx": t.turn_idx,
+            "role": t.role,
+            "tool": t.tool,
+            "ts": t.ts,
+            "has_ts": has_ts,
+        }
+        rec_idx = 0
+        for r in records:
+            rows.append({**base, **_EMPTY, **r.__dict__, "rec_idx": rec_idx})
+            rec_idx += 1
+        for e in errors:
+            rows.append(
+                {
+                    **base,
+                    **_EMPTY,
+                    "rec_idx": rec_idx,
+                    "error": e.error,
+                    "error_class": e.error_class,
+                    "error_line": e.line,
+                    "raw": e.raw,
+                }
+            )
+            rec_idx += 1
+    return pd.DataFrame(rows, columns=_PARSED_COLS)
+
+
+def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Parse one Arrow batch of transcript turns → parsed/error rows."""
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=_PARSED_COLS)
+    text = pdf["text"].fillna("")
+    norm = _normalize(text)
+
+    # classify: fast path iff no U+FFFD, exactly one shape-match at a line
+    # start, it is on the first line, and its first 23 chars are
+    # calendar-valid (pd.to_datetime enforces leap years, hour<=23, ...)
+    no_ffff = ~text.str.contains("�", regex=False)
+    n_shape = norm.str.count(_TS_LINE_SHAPE)
+    first23 = norm.str.slice(0, 23)
+    starts_shape = first23.str.fullmatch(
+        r"[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}"
+    )
+    cal_ok = (
+        pd.to_datetime(first23.where(starts_shape), format="%Y-%m-%d %H:%M:%S.%f", errors="coerce").notna()
+        & ~first23.str.startswith("0000", na=False)
+    )
+    fast = no_ffff & (n_shape == 1) & starts_shape.fillna(False) & cal_ok
+
+    parts: list[pd.DataFrame] = []
+    if fast.any():
+        parts.append(_fast_parse(pdf[fast], norm[fast]))
+    if (~fast).any():
+        parts.append(_slow_parse(pdf[~fast]))
+    out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0].reset_index(drop=True)
+    # stable output order within the batch (conv, turn, rec)
+    out = out.sort_values(["conv_id", "turn_idx", "rec_idx"], kind="stable").reset_index(drop=True)
+    out["ep"] = out["ep"].astype("Int32")
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["rec_idx"] = out["rec_idx"].astype("int32")
+    for c in ("execute_time", "rowcount", "execute_id", "error_line"):
+        out[c] = out[c].astype("Int64")
+    return out[_PARSED_COLS]
+
+
+def parse_transcripts(transcripts_df):
+    """transcripts DataFrame → parsed DataFrame (PARSED_SCHEMA rows).
+
+    Narrow map — preserves the input partitioning; no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield parse_batch(pdf)
+
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    return transcripts_df.select(*cols).mapInPandas(run, schema=PARSED_SCHEMA)
