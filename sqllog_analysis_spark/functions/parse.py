@@ -179,10 +179,15 @@ def _slow_parse(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_PARSED_COLS)
 
 
-def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Parse one Arrow batch of transcript turns → parsed/error rows."""
+def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.DataFrame:
+    """Parse one Arrow batch of transcript turns → parsed/error rows.
+
+    ``passthrough`` columns (e.g. the ordering window's ``turn_seq``) are
+    re-attached per (conv_id, turn_idx) after parsing.
+    """
+    out_cols = _PARSED_COLS + (passthrough or [])
     if len(pdf) == 0:
-        return pd.DataFrame(columns=_PARSED_COLS)
+        return pd.DataFrame(columns=out_cols)
     text = pdf["text"].fillna("")
     norm = _normalize(text)
 
@@ -214,18 +219,31 @@ def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out["rec_idx"] = out["rec_idx"].astype("int32")
     for c in ("execute_time", "rowcount", "execute_id", "error_line"):
         out[c] = out[c].astype("Int64")
-    return out[_PARSED_COLS]
+    if passthrough:
+        out = out.merge(
+            pdf[["conv_id", "turn_idx", *passthrough]], on=["conv_id", "turn_idx"], how="left"
+        )
+    return out[out_cols]
 
 
 def parse_transcripts(transcripts_df):
-    """transcripts DataFrame → parsed DataFrame (PARSED_SCHEMA rows).
+    """transcripts DataFrame → parsed DataFrame (PARSED_SCHEMA rows, plus
+    any extra input columns — e.g. the ordering window's ``turn_seq`` —
+    passed through).
 
     Narrow map — preserves the input partitioning; no shuffle.
     """
+    from pyspark.sql import types as T
+
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    passthrough = [c for c in transcripts_df.columns if c not in cols]
+    schema = T.StructType(
+        PARSED_SCHEMA.fields
+        + [transcripts_df.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield parse_batch(pdf)
+            yield parse_batch(pdf, passthrough=passthrough)
 
-    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
-    return transcripts_df.select(*cols).mapInPandas(run, schema=PARSED_SCHEMA)
+    return transcripts_df.select(*cols, *passthrough).mapInPandas(run, schema=schema)

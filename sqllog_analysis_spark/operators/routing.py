@@ -1,0 +1,104 @@
+"""Rule-based fan-out routing (SURVEY.md §2.3 R1 generalized).
+
+The reference routes every flushed segment to exactly one of two sinks
+(parsed → DuckDB, error → JSONL; parser.rs:282-305).  The graft extends
+this to 4+1 categories with a single ``when()`` chain — one JVM-side,
+codegen-friendly pass, no UDF:
+
+  priority: error  (Dameng-style ``ERR[-70xx]`` code in the description)
+          > slow_query (execute_time ≥ threshold)
+          > tool_call  (``TOOL_CALL: name(...)`` marker)
+          > chat       (everything else)
+
+Parse failures go to the ``parse_errors`` sink with the reference's
+{path, line, error, raw} shape (error_writer.rs:147-152), after the
+conversation-level degenerate-input rule (io.rs:147-167) is applied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sqllog_analysis_spark.oracle import NO_VALID_LINE
+
+ERR_CODE_RE = r"ERR\[(-?\d+)\]"
+TOOL_CALL_RE = r"TOOL_CALL: (\w+)\("
+
+
+def route_records(parsed: DataFrame, slow_ms: int = 1000) -> DataFrame:
+    """Add ``category`` (+ extracted ``err_code`` / ``tool_called``) to
+    successfully parsed rows.  Pure column expressions → whole-stage codegen.
+    """
+    rec = parsed.filter(F.col("error").isNull())
+    err_code = F.regexp_extract("description", ERR_CODE_RE, 1)
+    tool_called = F.regexp_extract("description", TOOL_CALL_RE, 1)
+    return (
+        rec.withColumn("err_code", F.when(err_code != "", err_code.cast("int")))
+        .withColumn("tool_called", F.when(tool_called != "", tool_called))
+        .withColumn(
+            "category",
+            F.when(F.col("err_code").isNotNull(), "error")
+            .when(F.col("execute_time") >= slow_ms, "slow_query")
+            .when(F.col("tool_called").isNotNull(), "tool_call")
+            .otherwise("chat"),
+        )
+    )
+
+
+def degenerate_convs(parsed: DataFrame) -> DataFrame:
+    """Conversations where no turn ever contained a valid timestamp line
+    (the graft's analog of a file with no valid log line, io.rs:147-167).
+
+    Partial-aggregated map-side, so the shuffle carries ≤ one row per
+    (conversation, partition); the result is tiny and broadcastable.
+    """
+    return (
+        parsed.groupBy("conv_id")
+        .agg(F.max("has_ts").alias("conv_has_ts"))
+        .filter(~F.col("conv_has_ts"))
+        .select("conv_id")
+    )
+
+
+def route_errors(parsed: DataFrame) -> DataFrame:
+    """parse_errors sink rows {path, line, error, raw} with the
+    degenerate-conversation rule applied:
+
+    - normal conversations: every collected error routes through;
+    - degenerate conversations (no valid timestamp line anywhere): only
+      critical (Utf8-class) errors survive; if none, exactly one synthetic
+      ``(0, 无有效日志行)`` row is emitted (io.rs:147-167).  Their parsed
+      records (possible via mid-segment regex matches) are dropped too —
+      see route_records_clean.
+    """
+    degen = degenerate_convs(parsed)
+    errors = parsed.filter(F.col("error").isNotNull())
+
+    normal = errors.join(F.broadcast(degen), "conv_id", "left_anti")
+    degen_utf8 = errors.join(F.broadcast(degen), "conv_id", "left_semi").filter(
+        F.col("error_class") == "Utf8"
+    )
+    utf8_convs = degen_utf8.select("conv_id").distinct()
+    synthetic = (
+        degen.join(utf8_convs, "conv_id", "left_anti")
+        .select(
+            F.col("conv_id").alias("path"),
+            F.lit(0).cast("long").alias("line"),
+            F.lit(f"未知错误: {NO_VALID_LINE}").alias("error"),
+            F.lit(NO_VALID_LINE).alias("raw"),
+        )
+    )
+    shape = lambda df: df.select(  # noqa: E731
+        F.col("conv_id").alias("path"),
+        F.col("error_line").alias("line"),
+        "error",
+        "raw",
+    )
+    return shape(normal).unionByName(shape(degen_utf8)).unionByName(synthetic)
+
+
+def route_records_clean(routed: DataFrame, degen: DataFrame) -> DataFrame:
+    """Drop records from degenerate conversations (the reference discards a
+    degenerate file's chunk without calling the record hook, io.rs:147-167).
+    """
+    return routed.join(F.broadcast(degen), "conv_id", "left_anti")

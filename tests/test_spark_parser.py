@@ -1,0 +1,98 @@
+"""Cross-check the vectorized Spark parser against the pure-Python oracle —
+the north rule's 'per-turn text equality under stable ordering' gate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import norm_cell
+
+from sqllog_analysis_spark import oracle
+from sqllog_analysis_spark.functions.parse import parse_batch, parse_transcripts
+from sqllog_analysis_spark.schema import TRANSCRIPT_SCHEMA
+from sqllog_analysis_spark.sources.transcripts import generate_transcripts
+
+COMPARE_COLS = [
+    "conv_id", "turn_idx", "rec_idx", "occurrence_time", "ep", "session",
+    "thread", "user", "trx_id", "statement", "appname", "ip", "sql_type",
+    "description", "execute_time", "rowcount", "execute_id",
+    "error", "error_class", "error_line", "raw", "has_ts",
+]
+
+
+def oracle_frame(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for t in df.itertuples():
+        recs, errs, has = oracle.parse_turn_text(t.text or "")
+        i = 0
+        for r in recs:
+            rows.append(
+                {"conv_id": t.conv_id, "turn_idx": int(t.turn_idx), "rec_idx": i,
+                 **r.__dict__, "error": None, "error_class": None,
+                 "error_line": None, "raw": None, "has_ts": has}
+            )
+            i += 1
+        for e in errs:
+            rows.append(
+                {"conv_id": t.conv_id, "turn_idx": int(t.turn_idx), "rec_idx": i,
+                 "error": e.error, "error_class": e.error_class,
+                 "error_line": e.line, "raw": e.raw, "has_ts": has}
+            )
+            i += 1
+    return (
+        pd.DataFrame(rows)
+        .reindex(columns=COMPARE_COLS)
+        .sort_values(["conv_id", "turn_idx", "rec_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def assert_frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> None:
+    assert len(got) == len(want), (len(got), len(want))
+    for c in COMPARE_COLS:
+        gv = [norm_cell(x) for x in got[c]]
+        wv = [norm_cell(x) for x in want[c]]
+        bad = [i for i in range(len(gv)) if gv[i] != wv[i]]
+        assert not bad, (c, bad[:3], [(gv[i], wv[i]) for i in bad[:2]])
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_parse_batch_matches_oracle(seed):
+    df = generate_transcripts(2500, seed)
+    got = parse_batch(df).sort_values(["conv_id", "turn_idx", "rec_idx"]).reset_index(drop=True)
+    assert_frames_equal(got[COMPARE_COLS], oracle_frame(df))
+
+
+def test_spark_parse_matches_oracle(spark):
+    """Full Spark round trip: Arrow in, mapInPandas, Arrow out — partition
+    boundaries must not change results."""
+    df = generate_transcripts(1500, 11)
+    sdf = spark.createDataFrame(df, schema=TRANSCRIPT_SCHEMA).repartition(7)
+    got = (
+        parse_transcripts(sdf)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "rec_idx"])
+        .reset_index(drop=True)
+    )
+    assert_frames_equal(got[COMPARE_COLS], oracle_frame(df))
+
+
+def test_spark_parse_passthrough_turn_seq(spark):
+    from pyspark.sql import Window, functions as F
+
+    df = generate_transcripts(300, 3)
+    sdf = spark.createDataFrame(df, schema=TRANSCRIPT_SCHEMA)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sdf = sdf.withColumn("turn_seq", F.row_number().over(w))
+    out = parse_transcripts(sdf)
+    assert "turn_seq" in out.columns
+    pdf = out.filter(F.col("error").isNull()).select("turn_idx", "turn_seq").toPandas()
+    # dense turn_idx 0..n-1 per conv ⇒ row_number == turn_idx + 1
+    assert (pdf["turn_seq"] == pdf["turn_idx"] + 1).all()
+
+
+def test_empty_input(spark):
+    sdf = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    assert parse_transcripts(sdf).count() == 0
