@@ -1,0 +1,200 @@
+"""End-to-end pipeline tests: routing equality vs oracle, per-sink
+aggregate counts, degenerate-conversation rule, enrich, manifest resume
+idempotency (the reference CLI's analysis-summary checks generalized,
+tests/error_writer_integration_tests.rs:9-180).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from sqllog_analysis_spark import oracle
+from sqllog_analysis_spark.plans.pipeline import PipelineConfig, build, run_pipeline
+from sqllog_analysis_spark.schema import TRANSCRIPT_SCHEMA
+from sqllog_analysis_spark.sources.transcripts import generate_transcripts, write_transcripts
+
+ERR_CODE = re.compile(r"ERR\[(-?\d+)\]")
+TOOL_CALL = re.compile(r"TOOL_CALL: (\w+)\(")
+SLOW_MS = 1000
+
+
+def oracle_route(df: pd.DataFrame) -> tuple[dict, list, dict]:
+    """Reference-semantics routing in plain Python: per-category counts,
+    error-sink rows, and per (conv, turn) record counts."""
+    counts = {"slow_query": 0, "error": 0, "tool_call": 0, "chat": 0}
+    err_rows = []
+    conv_has_ts: dict[str, bool] = {}
+    conv_errors: dict[str, list] = {}
+    conv_records: dict[str, list] = {}
+    for t in df.itertuples():
+        recs, errs, has = oracle.parse_turn_text(t.text or "")
+        conv_has_ts[t.conv_id] = conv_has_ts.get(t.conv_id, False) or has
+        conv_errors.setdefault(t.conv_id, []).extend(
+            (t.conv_id, int(e.line), e.error, e.raw, e.error_class) for e in errs
+        )
+        conv_records.setdefault(t.conv_id, []).extend(recs)
+    for conv, recs in conv_records.items():
+        if not conv_has_ts[conv]:
+            continue  # degenerate conv: records dropped
+        for r in recs:
+            m = ERR_CODE.search(r.description)
+            if m:
+                counts["error"] += 1
+            elif r.execute_time is not None and r.execute_time >= SLOW_MS:
+                counts["slow_query"] += 1
+            elif TOOL_CALL.search(r.description):
+                counts["tool_call"] += 1
+            else:
+                counts["chat"] += 1
+    for conv, errs in conv_errors.items():
+        if conv_has_ts[conv]:
+            err_rows.extend(e[:4] for e in errs)
+        else:
+            utf8 = [e[:4] for e in errs if e[4] == "Utf8"]
+            if utf8:
+                err_rows.extend(utf8)
+            else:
+                err_rows.append((conv, 0, f"未知错误: {oracle.NO_VALID_LINE}", oracle.NO_VALID_LINE))
+    return counts, sorted(err_rows), conv_has_ts
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(3000, 42)
+
+
+@pytest.fixture(scope="module")
+def graph(spark, corpus):
+    sdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA).repartition(6)
+    return build(spark, sdf, slow_ms=SLOW_MS)
+
+
+def test_sink_counts_match_oracle(graph, corpus):
+    got = {r["category"]: r["n"] for r in graph["sink_counts"].collect()}
+    want, _, _ = oracle_route(corpus)
+    want = {k: v for k, v in want.items() if v}
+    assert got == want
+
+
+def test_error_sink_matches_oracle(graph, corpus):
+    got = sorted(
+        (r["path"], int(r["line"]), r["error"], r["raw"])
+        for r in graph["errors"].collect()
+    )
+    _, want, _ = oracle_route(corpus)
+    assert got == want
+
+
+def test_routed_row_set_equality(graph, corpus):
+    """Routed-row set equality: every parsed record lands in exactly one
+    category, keyed by (conv_id, turn_idx, rec_idx)."""
+    routed = graph["routed"].select("conv_id", "turn_idx", "rec_idx").collect()
+    keys = {(r[0], r[1], r[2]) for r in routed}
+    assert len(keys) == len(routed)  # exactly-one sink per record
+    _, _, conv_has_ts = oracle_route(corpus)
+    want_keys = set()
+    for t in corpus.itertuples():
+        recs, _, _ = oracle.parse_turn_text(t.text or "")
+        if not conv_has_ts[t.conv_id]:
+            continue
+        for i in range(len(recs)):
+            want_keys.add((t.conv_id, int(t.turn_idx), i))
+    assert keys == want_keys
+
+
+def test_enrich_fields_present(graph):
+    row = graph["routed"].filter("role = 'tool'").select("category_hint", "cost_weight").first()
+    assert row is not None and row["cost_weight"] is not None
+
+
+def test_conv_buckets_totals(graph):
+    total = sum(r["n"] for r in graph["conv_buckets"].collect())
+    counts = {r["category"]: r["n"] for r in graph["sink_counts"].collect()}
+    assert total == sum(counts.values())
+
+
+def test_degenerate_conv_synthesizes_single_error(spark):
+    rows = [
+        ("conv_a", 0, "user", "junk line", None, dt.datetime(2025, 1, 1, 0, 0, 0)),
+        ("conv_a", 1, "user", "   ", None, dt.datetime(2025, 1, 1, 0, 0, 1)),
+        ("conv_b", 0, "user",
+         "2025-01-01 00:00:00.000 (EP[1] sess:NULL thrd:1 user:u trxid:1 stmt:NULL) [SEL]: x",
+         None, dt.datetime(2025, 1, 1, 0, 0, 2)),
+    ]
+    sdf = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    g = build(spark, sdf)
+    errs = g["errors"].collect()
+    assert len(errs) == 1
+    assert errs[0]["path"] == "conv_a" and errs[0]["line"] == 0
+    assert errs[0]["raw"] == oracle.NO_VALID_LINE
+    assert g["routed"].count() == 1  # only conv_b's record
+
+
+def test_degenerate_conv_keeps_utf8_errors(spark):
+    rows = [
+        ("conv_u", 0, "user", "�garbage no timestamp here at all", None,
+         dt.datetime(2025, 1, 1, 0, 0, 0)),
+    ]
+    sdf = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    g = build(spark, sdf)
+    errs = g["errors"].collect()
+    assert len(errs) == 1
+    assert errs[0]["error"].startswith("UTF8解码错误")
+
+
+def test_degenerate_conv_drops_embedded_records(spark):
+    # a mid-line header can regex-match even though no line starts a segment;
+    # the reference discards such records (io.rs:147-167 early return)
+    rows = [
+        ("conv_x", 0, "user",
+         "junk 2025-01-01 00:00:00.000 (EP[1] sess:NULL thrd:1 user:u trxid:1 stmt:NULL) [SEL]: x",
+         None, dt.datetime(2025, 1, 1, 0, 0, 0)),
+    ]
+    sdf = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    g = build(spark, sdf)
+    assert g["routed"].count() == 0
+    errs = g["errors"].collect()
+    assert len(errs) == 1 and errs[0]["raw"] == oracle.NO_VALID_LINE
+
+
+def test_run_pipeline_and_resume(spark, tmp_path):
+    inp = str(tmp_path / "transcripts.parquet")
+    out = str(tmp_path / "out")
+    write_transcripts(inp, 800, seed=5)
+
+    s1 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    assert set(s1["stages_ran"]) == {"records", "parse_errors", "aggregates"}
+    assert s1["records_routed"] > 0 and s1["parse_errors"] > 0
+
+    recs1 = spark.read.parquet(os.path.join(out, "records"))
+    n1 = recs1.count()
+
+    # resume: nothing re-runs, outputs unchanged, no duplicate rows
+    s2 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    assert s2["stages_ran"] == [] and set(s2["stages_skipped"]) == {
+        "records", "parse_errors", "aggregates"
+    }
+    assert spark.read.parquet(os.path.join(out, "records")).count() == n1
+
+    # partial resume: drop one stage's manifest → only that stage re-runs
+    os.remove(os.path.join(out, "_manifest", "parse_errors.json"))
+    s3 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    assert s3["stages_ran"] == ["parse_errors"]
+    assert spark.read.parquet(os.path.join(out, "records")).count() == n1
+
+    # manifest carries per-partition lineage
+    m = json.load(open(os.path.join(out, "_manifest", "records.json")))
+    assert m["committed"] and m["row_count"] == n1
+    assert sum(p["row_count"] for p in m["partitions"]) == n1
+
+    # input change invalidates the fingerprint → full re-run
+    write_transcripts(inp, 900, seed=6)
+    s4 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    assert set(s4["stages_ran"]) == {"records", "parse_errors", "aggregates"}
