@@ -1,38 +1,618 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` covers the operator inventory from SURVEY.md §2 (scan /
+filter / project pushdown, regex extract + route — the parse pipeline's
+shape, groupBy/rollup aggregates, broadcast joins, semi/anti joins,
+windows, union, top-k, sessionization) plus the training-data operators
+(exact dedup, minhash-LSH, simhash, n-gram Jaccard, token/quality/lang
+text analysis, cosine top-k similarity) and the transcript pipeline itself
+(rows-only checks — transcripts are not a pre-registered oracle view).
+
+Every SQL-expressible query has a matching ``oracle_sql()`` entry with
+identical column names/aliases.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sqllog_analysis_spark.functions import text as TX  # noqa: E402
+from sqllog_analysis_spark.operators import dedup as DD  # noqa: E402
+from sqllog_analysis_spark.operators import similarity as SIM  # noqa: E402
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_DATA_CACHE = os.path.join(_REPO, ".data")
+
+STOPWORDS_SQL = "('" + "','".join(TX.STOPWORDS) + "')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts corpus scaled to the sf dir, cached on disk."""
+    from sqllog_analysis_spark.sources.transcripts import write_transcripts
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        n = max(2000, int(float(sf) * 2_000_000))
+    except ValueError:
+        n = 20000
+    os.makedirs(_DATA_CACHE, exist_ok=True)
+    path = os.path.join(_DATA_CACHE, f"transcripts_{n}.parquet")
+    if not os.path.exists(path):
+        write_transcripts(path, n, seed=42)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational operator coverage
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_filter_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_partkey", "l_extendedprice")
+        .filter((F.col("l_extendedprice") > 5000) & (F.col("l_discount") < 0.05))
+    )
+
+
+def q_join_topk(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_broadcast_enrich(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_window_first_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"), F.col("o_orderdate").alias("first_orderdate"))
+    )
+
+
+def q_union_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select("event_id", "event_type")
+    b = e.filter(F.col("value") > 180).select("event_id", "event_type")
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    ).orderBy("event_type")
+
+
+def q_rollup_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_topk_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("value"), F.asc("event_id"))
+        .select("event_id", "event_type", "value")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-pipeline shape: regex extract → route → aggregate (the flagship)
+# ---------------------------------------------------------------------------
+
+def q_regex_route(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    routed = e.withColumn("k", k).withColumn(
+        "category",
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("k") >= 90, "hot")
+        .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .otherwise("browse"),
+    )
+    return (
+        routed.groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("category")
+    )
+
+
+def q_time_bucket(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is lossless
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    new_s = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: text analysis & dedup & similarity
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        DD.exact_dedup(d)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("dup_count").alias("n_docs"),
+            F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        )
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            TX.token_count("text").alias("n_tokens"),
+            F.round(TX.punct_ratio("text"), 6).alias("p_ratio"),
+            F.round(TX.stopword_ratio("text"), 6).alias("s_ratio"),
+            TX.quality_score("text").alias("quality"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("p_ratio"), 6).alias("avg_punct"),
+            F.round(F.avg("s_ratio"), 6).alias("avg_stop"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_lang_guess(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(TX.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.fingerprint("text").alias("fp")
+    ).orderBy("doc_id").limit(100)
+
+
+def q_token_count_bpe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", TX.bpe_ish_token_count("text").alias("n_bpe"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_bpe").alias("total_bpe"))
+        .orderBy("source")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, probes, k=5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Candidate near-dup pairs via banded minhash LSH (rows-only check:
+    band-hash bucketing is not SQL-expressible in the oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, n_hashes=32, bands=8, shingle_k=3)
+    return pairs.groupBy().agg(F.count("*").alias("n_candidate_pairs"))
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash signatures (rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.simhash(d)
+    return sig.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("simhash").alias("n_signatures"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥ 0.5 among first 300 docs (rows-only)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return DD.ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("a", "b")
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate neighbors (rows-only; approximate)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, probes, dim=64, k=5, bits=6)
+
+
+# ---------------------------------------------------------------------------
+# The transcript pipeline itself (rows-only: not a pre-registered view)
+# ---------------------------------------------------------------------------
+
+def q_pipeline_sink_counts(spark, sf_dir):
+    from sqllog_analysis_spark.plans.pipeline import build
+
+    g = build(spark, _transcripts(spark, sf_dir))
+    return g["sink_counts"].orderBy("category")
+
+
+def q_pipeline_errors(spark, sf_dir):
+    from sqllog_analysis_spark.plans.pipeline import build
+
+    g = build(spark, _transcripts(spark, sf_dir))
+    return g["errors"].groupBy().agg(F.count("*").alias("n_errors"))
+
+
+def q_pipeline_conv_buckets(spark, sf_dir):
+    from sqllog_analysis_spark.plans.pipeline import build
+
+    g = build(spark, _transcripts(spark, sf_dir))
+    return (
+        g["conv_buckets"]
+        .groupBy("category")
+        .agg(F.sum("n").alias("n"), F.max("max_exec_ms").alias("max_exec_ms"))
+        .orderBy("category")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the log-pipeline shape (regex parse → route → aggregate)
+    over sf0.001 events."""
+    return q_regex_route(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_pushdown": q_filter_pushdown,
+        "join_topk": q_join_topk,
+        "broadcast_enrich": q_broadcast_enrich,
+        "window_first_order": q_window_first_order,
+        "union_counts": q_union_counts,
+        "distinct_users": q_distinct_users,
+        "rollup_nation": q_rollup_nation,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "topk_events": q_topk_events,
+        "regex_route": q_regex_route,
+        "time_bucket": q_time_bucket,
+        "sessionize": q_sessionize,
+        "exact_dedup": q_exact_dedup,
+        "text_quality": q_text_quality,
+        "lang_guess": q_lang_guess,
+        "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "cosine_topk": q_cosine_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_errors": q_pipeline_errors,
+        "pipeline_conv_buckets": q_pipeline_conv_buckets,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(l_extendedprice) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "filter_pushdown": """
+            SELECT l_orderkey, l_partkey, l_extendedprice
+            FROM lineitem
+            WHERE l_extendedprice > 5000 AND l_discount < 0.05
+        """,
+        "join_topk": """
+            SELECT c_custkey, c_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "broadcast_enrich": """
+            SELECT r_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "window_first_order": """
+            SELECT o_custkey, first_orderkey, first_orderdate FROM (
+                SELECT o_custkey, o_orderkey AS first_orderkey,
+                       o_orderdate AS first_orderdate,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "union_counts": """
+            SELECT event_type, COUNT(*) AS n FROM (
+                SELECT event_id, event_type FROM events WHERE event_type = 'error'
+                UNION ALL
+                SELECT event_id, event_type FROM events WHERE value > 180
+            ) GROUP BY event_type ORDER BY event_type
+        """,
+        "distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "rollup_nation": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name, n_name
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "topk_events": """
+            SELECT event_id, event_type, value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "regex_route": """
+            WITH routed AS (
+                SELECT *,
+                       TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
+                       CASE WHEN event_type = 'error' THEN 'error'
+                            WHEN TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) >= 90 THEN 'hot'
+                            WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                            ELSE 'browse' END AS category
+                FROM events
+            )
+            SELECT category, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total_value,
+                   MAX(k) AS max_k
+            FROM routed GROUP BY category ORDER BY category
+        """,
+        "time_bucket": """
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "exact_dedup": """
+            WITH fps AS (
+                SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                       COUNT(*) AS dup_count
+                FROM documents GROUP BY fp
+            )
+            SELECT COUNT(*) AS n_unique,
+                   CAST(SUM(dup_count) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+            FROM fps
+        """,
+        "text_quality": f"""
+            WITH per_doc AS (
+                SELECT lang,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                  CASE WHEN len(text) > 0
+                       THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / len(text)
+                       ELSE 0.0 END AS p_ratio_raw,
+                  CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0
+                       THEN CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                                 t -> t IN {STOPWORDS_SQL})) AS DOUBLE)
+                            / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       ELSE 0.0 END AS s_ratio_raw
+                FROM documents
+            ), scored AS (
+                SELECT lang, n_tokens,
+                       ROUND(p_ratio_raw, 6) AS p_ratio,
+                       ROUND(s_ratio_raw, 6) AS s_ratio,
+                       ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                              + GREATEST(0.0, 1.0 - p_ratio_raw * 4.0)
+                              + LEAST(s_ratio_raw * 5.0, 1.0)) / 3.0, 6) AS quality
+                FROM per_doc
+            )
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(p_ratio), 6) AS avg_punct,
+                   ROUND(AVG(s_ratio), 6) AS avg_stop,
+                   ROUND(AVG(quality), 6) AS avg_quality
+            FROM scored GROUP BY lang ORDER BY lang
+        """,
+        "lang_guess": """
+            WITH v AS (
+                SELECT CASE WHEN len(text) > 0
+                            THEN CAST(len(text) - len(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS DOUBLE) / len(text)
+                            ELSE 0.0 END AS vr,
+                       regexp_matches(text, '[一-鿿]') AS cjk
+                FROM documents
+            )
+            SELECT CASE WHEN cjk THEN 'zh'
+                        WHEN vr >= 0.42 THEN 'fi'
+                        WHEN vr >= 0.38 THEN 'es'
+                        WHEN vr >= 0.34 THEN 'en'
+                        WHEN vr >= 0.30 THEN 'de'
+                        ELSE 'other' END AS lang_guess,
+                   COUNT(*) AS n
+            FROM v GROUP BY lang_guess ORDER BY lang_guess
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents ORDER BY doc_id LIMIT 100
+        """,
+        "token_count_bpe": """
+            WITH per_doc AS (
+                SELECT source,
+                       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS n_bpe
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS total_bpe
+            FROM per_doc GROUP BY source ORDER BY source
+        """,
+        "cosine_topk": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+                 scored AS (
+                     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                            ROUND(list_dot_product(p.v, c.v) /
+                                  (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+                     FROM c, p WHERE c.vec_id != p.vec_id
+                 ), ranked AS (
+                     SELECT probe_id, neighbor_id, cosine,
+                            ROW_NUMBER() OVER (PARTITION BY probe_id
+                                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                     FROM scored
+                 )
+            SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from sqllog_analysis_spark.session import get_spark
+
+    spark = get_spark("entry_smoke")
+    df = entry(spark)
+    df.show(10, truncate=False)
+    print("rows:", df.count())
