@@ -60,7 +60,7 @@ def degenerate_convs(parsed: DataFrame) -> DataFrame:
     )
 
 
-def route_errors(parsed: DataFrame) -> DataFrame:
+def route_errors(parsed: DataFrame, degen: DataFrame | None = None) -> DataFrame:
     """parse_errors sink rows {path, line, error, raw} with the
     degenerate-conversation rule applied:
 
@@ -71,7 +71,8 @@ def route_errors(parsed: DataFrame) -> DataFrame:
       records (possible via mid-segment regex matches) are dropped too —
       see route_records_clean.
     """
-    degen = degenerate_convs(parsed)
+    if degen is None:
+        degen = degenerate_convs(parsed)
     errors = parsed.filter(F.col("error").isNotNull())
 
     normal = errors.join(F.broadcast(degen), "conv_id", "left_anti")

@@ -71,21 +71,44 @@ def build(
     slow_ms: int = 1000,
     bucket: str = "hour",
     stable_order: bool = True,
+    persist: bool = True,
+    target_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Pure transformation graph — no writes, no actions.  Returns every
-    logical output so tests / the driver contract can materialize any of
-    them independently."""
+    """Transformation graph — no writes, no actions.  Returns every logical
+    output so tests / the driver contract can materialize any of them
+    independently.
+
+    Shuffle plan: ONE explicit hash repartition on conv_id sizes the stage
+    to the cluster and co-locates conversations, so the ordering window and
+    the degenerate-conv aggregation reuse that partitioning instead of
+    exchanging again.  ``persist=True`` caches the parsed output
+    (memory-and-disk) because every downstream sink/aggregate fans out from
+    it — without it each action would re-run the parse (the single most
+    expensive stage) once per output.
+    """
     if dim is None:
         dim = load_dim(spark)
+    n = target_partitions or spark.sparkContext.defaultParallelism
+    transcripts = transcripts.repartition(n, "conv_id")
     if stable_order:
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
         transcripts = transcripts.withColumn("turn_seq", F.row_number().over(w))
     parsed = parse_transcripts(transcripts)
+    if persist:
+        from pyspark import StorageLevel
+
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize eagerly: the degenerate-conv broadcast subquery and the
+        # probe side would otherwise race to fill the cache and run the
+        # parse twice concurrently
+        parsed.count()
     degen = degenerate_convs(parsed)
     routed = route_records_clean(
         route_records(enrich_with_dim(parsed, dim), slow_ms=slow_ms), degen
     )
-    errors = route_errors(parsed)
+    if persist:
+        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    errors = route_errors(parsed, degen)
     return {
         "transcripts": transcripts,
         "parsed": parsed,
@@ -146,6 +169,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     counts = {r["category"]: r["n"] for r in g["sink_counts"].collect()}
     n_errors = (manifest.read("parse_errors") or {}).get("row_count", 0)
     n_turns = transcripts.count()
+    g["parsed"].unpersist()
+    g["routed"].unpersist()
     s = make_summary(n_turns, counts, n_errors)
     s.update({"stages_ran": ran, "stages_skipped": skipped, "fingerprint": fp})
     return s

@@ -1,0 +1,96 @@
+"""Two-parallelism scaling evidence (north rule: ≥0.8 throughput scaling
+efficiency between N- and 4N-executor runs; sandbox protocol per
+BASELINE.md: identical job, identical input, local[8] vs local[32],
+efficiency = throughput_32 / (4 × throughput_8)).
+
+Each run is a separate subprocess → fresh JVM, no shared executor state.
+Writes BENCH/BASELINE.md.  Usage: python tools/bench_scaling.py [n_turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from sqllog_analysis_spark.plans.pipeline import build
+from sqllog_analysis_spark.session import get_spark
+
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=max(8, cores),
+                  extra_conf={{"spark.sql.adaptive.enabled": "false"}})
+tdf = spark.read.parquet(path)
+n = tdf.count()
+# warm-up: JVM/codegen/Arrow worker spin-up, excluded from the measurement
+build(spark, tdf.limit(2000))["sink_counts"].collect()
+t0 = time.perf_counter()
+g = build(spark, tdf)
+g["routed"].count(); g["errors"].count()
+g["sink_counts"].collect(); g["conv_buckets"].count()
+sec = time.perf_counter() - t0
+print(json.dumps({{"cores": cores, "turns": n, "sec": sec, "tps": n / sec}}))
+"""
+
+
+def run(cores: int, path: str) -> dict:
+    code = RUNNER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), path],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    from sqllog_analysis_spark.sources.transcripts import write_transcripts
+
+    os.makedirs(os.path.join(REPO, ".data"), exist_ok=True)
+    path = os.path.join(REPO, ".data", f"transcripts_scale_{n_turns}.parquet")
+    if not os.path.exists(path):
+        sys.path.insert(0, REPO)
+        write_transcripts(path, n_turns, seed=42)
+
+    r8 = run(8, path)
+    r32 = run(32, path)
+    eff = r32["tps"] / (4 * r8["tps"])
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+North-rule criterion: ≥0.8 throughput scaling efficiency between N and 4N
+executors.  Sandbox protocol (BASELINE.md): the identical end-to-end
+pipeline (parse → enrich → route → aggregate, all outputs materialized) on
+the identical input, at `local[8]` vs `local[32]`, separate JVMs, after a
+small warm-up run to exclude JVM/Arrow startup.
+
+| run | cores | turns | wall sec | throughput (turns/sec) |
+|---|---|---|---|---|
+| N    | 8  | {r8['turns']} | {r8['sec']:.2f} | {r8['tps']:.0f} |
+| 4N   | 32 | {r32['turns']} | {r32['sec']:.2f} | {r32['tps']:.0f} |
+
+**efficiency = tps_32 / (4 × tps_8) = {eff:.3f}**  (requirement: ≥ 0.8)
+
+Input: deterministic synthetic transcripts corpus, {n_turns} turns
+(seed 42, sources/transcripts.py), shuffled row order, Zipf-skewed
+conversation sizes.
+
+Reference baseline for context (BASELINE.md): the reference's published
+single-node figures are ~10k-50k records/sec parse and ~4k records/sec
+insert; its file loop is sequential (duckdb_impl.rs:913-924), so its real
+scaling efficiency across cores is ~0.25 at 4×.  The numbers above are the
+same workload class (parse → route → load) under real data parallelism.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"n8": r8, "n32": r32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
