@@ -56,16 +56,24 @@ def minhash_signatures(
     shingle_k: int = 5,
 ) -> DataFrame:
     """(id, h0..h{n-1}) — minhash over shingles, n_hashes seeded murmur3
-    hashes computed JVM-side.  One explode + one groupBy (map-side combined
-    min), no UDF."""
-    ex = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("shingle")
-    )
-    aggs = [
-        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+    hashes computed JVM-side.
+
+    Fully NARROW: per row, ``array_min(transform(shingles, s → hash(s, i)))``
+    — no explode, no shuffle, scales linearly with partitions (the naive
+    explode + 64-column groupBy shuffles |docs|×|shingles| rows)."""
+    # NB: the lambda must be unary — pyspark treats 2-param lambdas as the
+    # (element, index) higher-order variant, so `lambda s, i=i` would bind
+    # the array index, not the loop seed
+    def hasher(seed: int):
+        return lambda s: F.hash(s, F.lit(seed))
+
+    sigs = [
+        F.array_min(F.transform(F.col("_shingles"), hasher(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return df.select(
+        F.col(id_col), _shingles(text_col, shingle_k).alias("_shingles")
+    ).select(F.col(id_col), *sigs)
 
 
 def minhash_lsh_pairs(
@@ -118,23 +126,28 @@ def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash per document: sign of per-bit sums of token hashes.
-    Explode tokens once; 64 conditional sums aggregate map-side."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("th", F.hash("tok").cast("long"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    per_bit = toks.groupBy(id_col).agg(*aggs)
+
+    Fully NARROW: token hashes live in a per-row array; each bit's signed
+    sum is an ``aggregate`` over that array — no explode, no shuffle."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    th = F.transform(toks, lambda t: F.hash(t).cast("long"))
     sig = F.lit(0).cast("long")
+    def make_merge(i: int):
+        # bit test via mask; bit 63 is the sign bit of the signed long hash.
+        # binary lambda only — a 3rd param would be read as the index variant
+        def merge(acc, h):
+            is_set = (h.bitwiseAND(F.lit(1 << i)) != 0) if i < 63 else (h < 0)
+            return acc + F.when(is_set, 1).otherwise(-1)
+
+        return merge
+
     for i in range(bits):
-        bit = F.shiftleft(F.lit(1).cast("long"), i)  # bit 63 wraps signed, as intended
-        sig = sig + F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
-    return per_bit.select(F.col(id_col), sig.alias("simhash"))
+        bit_sum = F.aggregate(F.col("_th"), F.lit(0), make_merge(i))
+        bit = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        sig = sig + F.when(bit_sum > 0, bit).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), th.alias("_th")).select(
+        F.col(id_col), sig.alias("simhash")
+    )
 
 
 def ngram_jaccard_pairs(

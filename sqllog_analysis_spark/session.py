@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # single-node: shuffle files + cache spill on tmpfs instead of the (slow,
+    # jittery) VM disk; on a real cluster spark.local.dir is the node's SSDs
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

@@ -1,0 +1,166 @@
+"""Tests for training-data operators: dedup (exact / minhash-LSH / simhash /
+n-gram Jaccard), similarity search, text analysis, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sqllog_analysis_spark.functions import text as TX
+from sqllog_analysis_spark.operators import dedup as DD
+from sqllog_analysis_spark.operators import similarity as SIM
+from sqllog_analysis_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over a lazy dog today"),  # near-dup
+    (3, "completely different content about spark engines and shuffles"),
+    (4, "THE  QUICK   brown fox JUMPS over the lazy dog"),  # norm dup of 0
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = DD.exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[0] == 3  # 0, 1, 4 normalize identically
+    assert by_keep[2] == 1 and by_keep[3] == 1 and by_keep[5] == 1
+
+
+def test_minhash_signatures_deterministic_and_distinct(docs):
+    sig = DD.minhash_signatures(docs, n_hashes=8, shingle_k=3).collect()
+    rows = {r["doc_id"]: [r[f"h{i}"] for i in range(8)] for r in sig}
+    assert rows[0] == rows[1]  # identical docs → identical signatures
+    assert rows[0] != rows[3]  # different docs → different signatures
+    # different seeds → (almost surely) different hash values per doc
+    assert len(set(rows[0])) > 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["a"], r["b"])
+        for r in DD.minhash_lsh_pairs(
+            docs, n_hashes=16, bands=8, shingle_k=3
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup should bucket-collide
+    assert not any(3 in p for p in pairs)  # unrelated doc has no partner
+
+
+def test_simhash_properties(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert sig[0] == sig[1]
+    # near-dup: small Hamming distance; unrelated: large
+    ham_near = bin((sig[0] ^ sig[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((sig[0] ^ sig[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs
+
+
+def test_brute_force_topk(spark):
+    rng = np.random.default_rng(0)
+    vecs = [(i, rng.standard_normal(8).tolist()) for i in range(50)]
+    # vec 40 = vec 0 scaled → cosine 1.0 (nearest neighbor of 0)
+    vecs[40] = (40, [2 * x for x in vecs[0][1]])
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") == 0)
+    out = SIM.brute_force_topk(df, probes, k=3).collect()
+    assert len(out) == 3
+    assert out[0]["neighbor_id"] == 40 and out[0]["rank"] == 1
+    assert abs(out[0]["cosine"] - 1.0) < 1e-6
+    # oracle check vs numpy
+    sims = {}
+    v0 = np.array(vecs[0][1])
+    for i, v in vecs[1:]:
+        v = np.array(v)
+        sims[i] = float(v0 @ v / (np.linalg.norm(v0) * np.linalg.norm(v)))
+    want = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:3]
+    assert [r["neighbor_id"] for r in out] == want
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((20, 16))
+    vecs = []
+    for i in range(200):
+        v = base[i % 20] + 0.05 * rng.standard_normal(16)  # 20 tight clusters
+        vecs.append((i, v.tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") < 3)
+    exact = SIM.brute_force_topk(df, probes, k=5).collect()
+    approx = SIM.lsh_topk(df, probes, dim=16, k=5, bits=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    # same-cluster neighbors share all hyperplane signs with high prob.
+    recall = sum(
+        len(exact_sets[p] & approx_sets.get(p, set())) / len(exact_sets[p])
+        for p in exact_sets
+    ) / len(exact_sets)
+    assert recall >= 0.5
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick fox!! on a log."), (2, ""), (3, "一二三 漢字 text")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TX.token_count("text").alias("n"),
+            TX.punct_ratio("text").alias("p"),
+            TX.stopword_ratio("text").alias("s"),
+            TX.lang_guess("text").alias("lg"),
+            TX.fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert out[1]["n"] == 6
+    assert out[2]["n"] == 0 and out[2]["p"] == 0.0
+    assert out[1]["s"] == pytest.approx(3 / 6)
+    assert out[3]["lg"] == "zh"
+    assert len(out[1]["fp"]) == 32
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"\x00\x01\x02\x03" * 100), "image/png", 10, 10, None),
+        (2, "audio", bytearray(b"\xff" * 64), "audio/wav", None, None, 1000),
+        (3, "video", None, "video/mp4", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
+    assert out[1]["n_bytes"] == 400 and len(out[1]["feature"]) == 8
+    assert abs(sum(out[1]["feature"]) - 1.0) < 1e-5  # normalized histogram
+    assert out[3]["feature"] is None and out[3]["sha1"] is None
+    # deterministic: same payload → same sha1/features across runs
+    out2 = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
+    assert out2[1]["sha1"] == out[1]["sha1"]
+
+
+def test_real_decode_is_explicit_stub():
+    from sqllog_analysis_spark.operators.multimodal import real_decode_stub
+
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"x")
