@@ -172,6 +172,73 @@ def q_anti_join(spark, sf_dir):
     )
 
 
+def q_except_intersect(spark, sf_dir):
+    """Set ops (SURVEY.md §2.8 U2): customers with orders but none large,
+    via EXCEPT; plus INTERSECT sanity — counts of each."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    with_big = c.join(
+        o.filter(F.col("o_totalprice") > 200000), c.c_custkey == o.o_custkey, "left_semi"
+    )
+    ex = with_orders.exceptAll(with_big).select(F.col("c_custkey"))
+    inter = with_orders.intersect(with_big)
+    return (
+        ex.withColumn("setop", F.lit("except"))
+        .unionByName(inter.withColumn("setop", F.lit("intersect")))
+        .groupBy("setop")
+        .agg(F.count("*").alias("n"))
+        .orderBy("setop")
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    """CUBE grouping sets (A4) over event_type × value band."""
+    e = _t(spark, sf_dir, "events")
+    band = F.when(F.col("value") >= 150, "high").otherwise("low")
+    return (
+        e.withColumn("band", band)
+        .cube("event_type", "band")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "band")
+    )
+
+
+def q_raw_sql(spark, sf_dir):
+    """spark.sql escape hatch (SURVEY.md §2.11 X3 ≙ execute_sql,
+    reference src/database/mod.rs:150-153)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders_v GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, on an id-bounded
+    subset) — the dedup-by-embedding variant with a full SQL oracle.
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ≈0.49), so the threshold is set at the similarity tail, not 0.9."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .withColumn("v", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(SIM.cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.35)
+        .select("a", "b", "cosine")
+        .orderBy("a", "b")
+    )
+
+
 def q_topk_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -385,6 +452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_nation": q_rollup_nation,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        "except_intersect": q_except_intersect,
+        "cube_events": q_cube_events,
+        "raw_sql": q_raw_sql,
+        "embedding_near_dup": q_embedding_near_dup,
         "topk_events": q_topk_events,
         "regex_route": q_regex_route,
         "time_bucket": q_time_bucket,
@@ -484,6 +555,48 @@ def oracle_sql() -> dict[str, str]:
         "topk_events": """
             SELECT event_id, event_type, value FROM events
             ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "except_intersect": """
+            WITH with_orders AS (
+                SELECT c_custkey FROM customer
+                WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ), with_big AS (
+                SELECT c_custkey FROM customer
+                WHERE EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+            ), u AS (
+                SELECT c_custkey, 'except' AS setop
+                FROM (SELECT c_custkey FROM with_orders EXCEPT ALL SELECT c_custkey FROM with_big)
+                UNION ALL
+                SELECT c_custkey, 'intersect' AS setop
+                FROM (SELECT c_custkey FROM with_orders INTERSECT SELECT c_custkey FROM with_big)
+            )
+            SELECT setop, COUNT(*) AS n FROM u GROUP BY setop ORDER BY setop
+        """,
+        "cube_events": """
+            SELECT event_type,
+                   CASE WHEN value >= 150 THEN 'high' ELSE 'low' END AS band,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY CUBE (event_type, band)
+            ORDER BY event_type, band
+        """,
+        "raw_sql": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+            ORDER BY a, b
         """,
         "regex_route": """
             WITH routed AS (

@@ -211,7 +211,12 @@ def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.D
         parts.append(_fast_parse(pdf[fast], norm[fast]))
     if (~fast).any():
         parts.append(_slow_parse(pdf[~fast]))
-    out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0].reset_index(drop=True)
+    parts = [p for p in parts if len(p)] or parts[:1]
+    out = (
+        pd.concat(parts, ignore_index=True)
+        if len(parts) > 1
+        else parts[0].reset_index(drop=True)
+    )
     # stable output order within the batch (conv, turn, rec)
     out = out.sort_values(["conv_id", "turn_idx", "rec_idx"], kind="stable").reset_index(drop=True)
     out["ep"] = out["ep"].astype("Int32")

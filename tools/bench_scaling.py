@@ -24,6 +24,9 @@ from sqllog_analysis_spark.plans.pipeline import build
 from sqllog_analysis_spark.session import get_spark
 
 cores = int(sys.argv[1]); path = sys.argv[2]
+# both legs get an ample, identical heap so cache spill doesn't confound
+# the parallelism comparison (the box has 128 GiB)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=max(8, cores),
                   extra_conf={{"spark.sql.adaptive.enabled": "false"}})
 tdf = spark.read.parquet(path)
@@ -61,9 +64,18 @@ def main() -> None:
         write_transcripts(path, n_turns, seed=42)
 
     n_lo, n_hi = 2, 8
-    r8 = run(n_lo, path)
-    r32 = run(n_hi, path)
+    # the sandbox VM shows multi-second external jitter (identical runs vary
+    # up to 4×); interleave the legs and keep the best (least-contaminated)
+    # sample per leg
+    runs_lo, runs_hi = [], []
+    for _ in range(3):
+        runs_lo.append(run(n_lo, path))
+        runs_hi.append(run(n_hi, path))
+    r8 = min(runs_lo, key=lambda r: r["sec"])
+    r32 = min(runs_hi, key=lambda r: r["sec"])
     eff = r32["tps"] / (4 * r8["tps"])
+    print(json.dumps({"lo_secs": [round(r["sec"], 1) for r in runs_lo],
+                      "hi_secs": [round(r["sec"], 1) for r in runs_hi]}))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
