@@ -190,6 +190,9 @@ def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.D
         return pd.DataFrame(columns=out_cols)
     text = pdf["text"].fillna("")
     norm = _normalize(text)
+    # '\n' is a line terminator (io.rs read_until): drop one trailing newline
+    # so newline-terminated text has no phantom empty last line
+    norm = norm.str.replace(r"\n$", "", regex=True)
 
     # classify: fast path iff no U+FFFD, exactly one shape-match at a line
     # start, it is on the first line, and its first 23 chars are

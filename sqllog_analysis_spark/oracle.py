@@ -236,6 +236,11 @@ def parse_turn_text(
     content: list[str] = []
     line_num = 1
 
+    # '\n' is a line TERMINATOR, not a separator (io.rs:186-198 read_until):
+    # a newline-terminated text has no phantom empty last line
+    if text.endswith("\n"):
+        text = text[:-1]
+
     def flush(num: int) -> None:
         segment = "\n".join(content)
         if segment.strip() == "":  # parser.rs:288-291 empty-segment drop

@@ -67,8 +67,9 @@ def main() -> None:
     # the sandbox VM shows multi-second external jitter (identical runs vary
     # up to 4×); interleave the legs and keep the best (least-contaminated)
     # sample per leg
+    rounds = int(os.environ.get("SCALING_ROUNDS", "5"))
     runs_lo, runs_hi = [], []
-    for _ in range(3):
+    for _ in range(rounds):
         runs_lo.append(run(n_lo, path))
         runs_hi.append(run(n_hi, path))
     r8 = min(runs_lo, key=lambda r: r["sec"])
