@@ -31,7 +31,7 @@ def norm_cell(x):
     if isinstance(x, (int, np.integer)):
         return int(x)
     if isinstance(x, float):
-        return int(x) if x.is_integer() else x
+        return int(x) if x.is_integer() else round(x, 9)
     return str(x)
 
 

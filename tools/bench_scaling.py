@@ -35,12 +35,18 @@ n = tdf.count()
 wg = build(spark, tdf.limit(2000))
 wg["sink_counts"].collect()
 wg["parsed"].unpersist(); wg["routed"].unpersist()
-t0 = time.perf_counter()
-g = build(spark, tdf)
-g["routed"].count(); g["errors"].count()
-g["sink_counts"].collect(); g["conv_buckets"].count()
-sec = time.perf_counter() - t0
-print(json.dumps({{"cores": cores, "turns": n, "sec": sec, "tps": n / sec}}))
+# several samples in one warm JVM; min = least noise-contaminated (the
+# sandbox host injects one-sided multi-second stalls)
+samples = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    g = build(spark, tdf)
+    g["routed"].count(); g["errors"].count()
+    g["sink_counts"].collect(); g["conv_buckets"].count()
+    samples.append(time.perf_counter() - t0)
+    g["parsed"].unpersist(); g["routed"].unpersist()
+sec = min(samples)
+print(json.dumps({{"cores": cores, "turns": n, "sec": sec, "tps": n / sec, "samples": samples}}))
 """
 
 
@@ -63,11 +69,12 @@ def main() -> None:
         sys.path.insert(0, REPO)
         write_transcripts(path, n_turns, seed=42)
 
-    n_lo, n_hi = 2, 8
+    n_lo = int(os.environ.get("SCALING_N", "2"))
+    n_hi = 4 * n_lo
     # the sandbox VM shows multi-second external jitter (identical runs vary
     # up to 4×); interleave the legs and keep the best (least-contaminated)
     # sample per leg
-    rounds = int(os.environ.get("SCALING_ROUNDS", "5"))
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     runs_lo, runs_hi = [], []
     for _ in range(rounds):
         runs_lo.append(run(n_lo, path))
