@@ -56,7 +56,12 @@ def main() -> None:
         "bench",
         cores=cpus,
         shuffle_partitions=max(8, cpus),
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # split sub-GB local inputs across all cores; a real cluster
+            # keeps the 128m default
+            "spark.sql.files.maxPartitionBytes": "8m",
+        },
     )
 
     timings: dict[str, float] = {}

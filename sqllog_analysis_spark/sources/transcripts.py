@@ -192,13 +192,21 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
     return df.iloc[rng.permutation(n_turns)].reset_index(drop=True)
 
 
-def write_transcripts(path: str, n_turns: int, seed: int = 42) -> str:
-    """Write the corpus to parquet (pyarrow, no Spark needed) → path."""
+def write_transcripts(
+    path: str, n_turns: int, seed: int = 42, row_group_size: int = 50_000
+) -> str:
+    """Write the corpus to parquet (pyarrow, no Spark needed) → path.
+
+    Small row groups so Spark can split the file into parallel scan tasks
+    (a single-row-group file is one task no matter how many cores).
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     df = generate_transcripts(n_turns, seed)
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), path, row_group_size=row_group_size
+    )
     return path
 
 

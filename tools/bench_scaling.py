@@ -28,7 +28,11 @@ cores = int(sys.argv[1]); path = sys.argv[2]
 # the parallelism comparison (the box has 128 GiB)
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=max(8, cores),
-                  extra_conf={{"spark.sql.adaptive.enabled": "false"}})
+                  extra_conf={{"spark.sql.adaptive.enabled": "false",
+                               # split the ~100MB input file across tasks; on a
+                               # real cluster the default 128m is right, here the
+                               # whole input must parallelize across N<=32 cores
+                               "spark.sql.files.maxPartitionBytes": "8m"}})
 tdf = spark.read.parquet(path)
 n = tdf.count()
 # warm-up: JVM/codegen/Arrow worker spin-up, excluded from the measurement
