@@ -73,9 +73,12 @@ def _lenient_i64(s: pd.Series, max_val: int) -> pd.Series:
     # 19+-digit strings: accept iff numerically within range
     long = s.str.fullmatch(r"[0-9]{19,}", na=False)
     if long.any():
+        # all-zeros ('' after lstrip) is a valid 0, like Rust parse::<i64>()
         vals = s[long].str.lstrip("0")
-        fit = vals.map(lambda v: v != "" and len(v) <= 19 and int(v) <= max_val)
-        out[long[long].index[fit]] = vals[fit].map(int).astype("int64")
+        fit = vals.map(lambda v: v == "" or (len(v) <= 19 and int(v) <= max_val))
+        out[long[long].index[fit]] = vals[fit].map(lambda v: int(v) if v else 0).astype(
+            "int64"
+        )
     out[out > max_val] = pd.NA
     return out
 
@@ -176,6 +179,14 @@ def _slow_parse(pdf: pd.DataFrame) -> pd.DataFrame:
                 }
             )
             rec_idx += 1
+        if rec_idx == 0:
+            # sentinel: a turn that yields neither records nor errors (e.g.
+            # whitespace-only) must still be visible to the conversation-level
+            # degenerate rule (io.rs:104-107 skips only 0-byte FILES; a
+            # whitespace-only file still gets the synthetic 无有效日志行).
+            # Identified downstream by error IS NULL AND occurrence_time IS
+            # NULL; never routed as a record.
+            rows.append({**base, **_EMPTY, "rec_idx": 0})
     return pd.DataFrame(rows, columns=_PARSED_COLS)
 
 
@@ -189,10 +200,12 @@ def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.D
     if len(pdf) == 0:
         return pd.DataFrame(columns=out_cols)
     text = pdf["text"].fillna("")
-    norm = _normalize(text)
     # '\n' is a line terminator (io.rs read_until): drop one trailing newline
-    # so newline-terminated text has no phantom empty last line
-    norm = norm.str.replace(r"\n$", "", regex=True)
+    # so newline-terminated text has no phantom empty last line.  This must
+    # happen BEFORE normalization — a final whitespace-only line normalizes
+    # to "" but still counts as a line (it is not a terminator).
+    text = text.str.replace(r"\n$", "", regex=True)
+    norm = _normalize(text)
 
     # classify: fast path iff no U+FFFD, exactly one shape-match at a line
     # start, it is on the first line, and its first 23 chars are

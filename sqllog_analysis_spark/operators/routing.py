@@ -29,7 +29,12 @@ def route_records(parsed: DataFrame, slow_ms: int = 1000) -> DataFrame:
     """Add ``category`` (+ extracted ``err_code`` / ``tool_called``) to
     successfully parsed rows.  Pure column expressions → whole-stage codegen.
     """
-    rec = parsed.filter(F.col("error").isNull())
+    # occurrence_time guard drops the no-output sentinel rows (turns that
+    # produced neither records nor errors; they exist only for the
+    # conversation-level degenerate rule)
+    rec = parsed.filter(
+        F.col("error").isNull() & F.col("occurrence_time").isNotNull()
+    )
     err_code = F.regexp_extract("description", ERR_CODE_RE, 1)
     tool_called = F.regexp_extract("description", TOOL_CALL_RE, 1)
     return (
@@ -65,23 +70,30 @@ def route_errors(parsed: DataFrame, degen: DataFrame | None = None) -> DataFrame
     degenerate-conversation rule applied:
 
     - normal conversations: every collected error routes through;
-    - degenerate conversations (no valid timestamp line anywhere): only
-      critical (Utf8-class) errors survive; if none, exactly one synthetic
-      ``(0, 无有效日志行)`` row is emitted (io.rs:147-167).  Their parsed
-      records (possible via mid-segment regex matches) are dropped too —
-      see route_records_clean.
+    - degenerate conversations (no valid timestamp line anywhere): if the
+      conversation collected at least one critical (Utf8-class) error, ALL
+      of its collected errors pass through (io.rs:159-160 hands the full
+      chunk_errors list to err_hook, Format errors included); if none,
+      exactly one synthetic ``(0, 无有效日志行)`` row is emitted
+      (io.rs:147-167).  Their parsed records (possible via mid-segment
+      regex matches) are dropped too — see route_records_clean.
     """
     if degen is None:
         degen = degenerate_convs(parsed)
     errors = parsed.filter(F.col("error").isNotNull())
 
     normal = errors.join(F.broadcast(degen), "conv_id", "left_anti")
-    degen_utf8 = errors.join(F.broadcast(degen), "conv_id", "left_semi").filter(
-        F.col("error_class") == "Utf8"
+    degen_errors = errors.join(F.broadcast(degen), "conv_id", "left_semi")
+    critical_convs = (
+        degen_errors.filter(F.col("error_class") == "Utf8")
+        .select("conv_id")
+        .distinct()
     )
-    utf8_convs = degen_utf8.select("conv_id").distinct()
+    degen_critical = degen_errors.join(
+        F.broadcast(critical_convs), "conv_id", "left_semi"
+    )
     synthetic = (
-        degen.join(utf8_convs, "conv_id", "left_anti")
+        degen.join(critical_convs, "conv_id", "left_anti")
         .select(
             F.col("conv_id").alias("path"),
             F.lit(0).cast("long").alias("line"),
@@ -95,7 +107,7 @@ def route_errors(parsed: DataFrame, degen: DataFrame | None = None) -> DataFrame
         "error",
         "raw",
     )
-    return shape(normal).unionByName(shape(degen_utf8)).unionByName(synthetic)
+    return shape(normal).unionByName(shape(degen_critical)).unionByName(synthetic)
 
 
 def route_records_clean(routed: DataFrame, degen: DataFrame) -> DataFrame:

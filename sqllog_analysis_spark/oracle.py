@@ -263,7 +263,11 @@ def parse_turn_text(
                 flush(line_num)
                 content = []
             line_num = 1
-        content.append(clean)
+        # parser.rs:362-366: push_str on an EMPTY buffer skips empty lines
+        # (no separator is added), so leading empty lines never open a
+        # segment; line_num still counts them
+        if content or clean != "":
+            content.append(clean)
         line_num += 1
     if content:
         flush(line_num)

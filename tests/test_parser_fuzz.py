@@ -78,6 +78,12 @@ def test_parse_batch_equals_oracle_on_arbitrary_text(texts):
                          "error_class": e.error_class, "error_line": e.line,
                          "raw": e.raw, "has_ts": has})
             i += 1
+        if i == 0:
+            # zero-output turn ⇒ one all-null sentinel row (keeps the turn
+            # visible to the conversation-level degenerate rule)
+            rows.append({"conv_id": t.conv_id, "rec_idx": 0, "error": None,
+                         "error_class": None, "error_line": None,
+                         "raw": None, "has_ts": has})
     want = pd.DataFrame(rows).reindex(columns=["conv_id", *COMPARE_COLS])
     want = want.sort_values(["conv_id", "rec_idx"]).reset_index(drop=True)
     got = got.sort_values(["conv_id", "rec_idx"]).reset_index(drop=True)

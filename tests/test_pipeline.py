@@ -57,9 +57,10 @@ def oracle_route(df: pd.DataFrame) -> tuple[dict, list, dict]:
         if conv_has_ts[conv]:
             err_rows.extend(e[:4] for e in errs)
         else:
-            utf8 = [e[:4] for e in errs if e[4] == "Utf8"]
-            if utf8:
-                err_rows.extend(utf8)
+            # critical (Utf8) error present ⇒ ALL collected errors pass
+            # through (io.rs:159-160 hands the full chunk_errors list)
+            if any(e[4] == "Utf8" for e in errs):
+                err_rows.extend(e[:4] for e in errs)
             else:
                 err_rows.append((conv, 0, f"未知错误: {oracle.NO_VALID_LINE}", oracle.NO_VALID_LINE))
     return counts, sorted(err_rows), conv_has_ts
@@ -137,6 +138,24 @@ def test_degenerate_conv_synthesizes_single_error(spark):
     assert g["routed"].count() == 1  # only conv_b's record
 
 
+def test_all_whitespace_conv_gets_synthetic_error(spark):
+    """A conversation whose every turn yields no records AND no errors
+    (whitespace-only text) still gets the synthetic 无有效日志行 row —
+    io.rs:104-107 skips only 0-byte files; a whitespace-only file reaches
+    the degenerate rule (io.rs:148-164, test sqllog_tests.rs:560-573)."""
+    rows = [
+        ("conv_w", 0, "user", "   ", None, dt.datetime(2025, 1, 1, 0, 0, 0)),
+        ("conv_w", 1, "user", "\t\n  \n", None, dt.datetime(2025, 1, 1, 0, 0, 1)),
+    ]
+    sdf = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    g = build(spark, sdf)
+    errs = g["errors"].collect()
+    assert len(errs) == 1
+    assert errs[0]["path"] == "conv_w" and errs[0]["line"] == 0
+    assert errs[0]["raw"] == oracle.NO_VALID_LINE
+    assert g["routed"].count() == 0
+
+
 def test_degenerate_conv_keeps_utf8_errors(spark):
     rows = [
         ("conv_u", 0, "user", "�garbage no timestamp here at all", None,
@@ -144,9 +163,14 @@ def test_degenerate_conv_keeps_utf8_errors(spark):
     ]
     sdf = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
     g = build(spark, sdf)
-    errs = g["errors"].collect()
-    assert len(errs) == 1
+    errs = sorted(g["errors"].collect(), key=lambda r: r["error"])
+    # critical error present ⇒ the FULL error list passes through
+    # (io.rs:159-160): the Utf8 repair error AND the junk segment's Format
+    # error, no synthetic row
+    assert len(errs) == 2
     assert errs[0]["error"].startswith("UTF8解码错误")
+    assert errs[1]["error"].startswith("日志格式错误")
+    assert not any(r["raw"] == oracle.NO_VALID_LINE for r in errs)
 
 
 def test_degenerate_conv_drops_embedded_records(spark):

@@ -41,6 +41,14 @@ def oracle_frame(df: pd.DataFrame) -> pd.DataFrame:
                  "error_line": e.line, "raw": e.raw, "has_ts": has}
             )
             i += 1
+        if i == 0:
+            # zero-output turn ⇒ one all-null sentinel row (visible to the
+            # conversation-level degenerate rule, never routed)
+            rows.append(
+                {"conv_id": t.conv_id, "turn_idx": int(t.turn_idx), "rec_idx": 0,
+                 "error": None, "error_class": None, "error_line": None,
+                 "raw": None, "has_ts": has}
+            )
     return (
         pd.DataFrame(rows)
         .reindex(columns=COMPARE_COLS)
