@@ -36,8 +36,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic transcripts corpus scaled to the sf dir, cached on disk."""
+def _transcripts_path(sf_dir: str, seed: int = 42) -> str:
+    """Deterministic transcripts corpus scaled to the sf dir, cached on disk
+    (cache key includes the seed so a seed change can't serve stale data)."""
     from sqllog_analysis_spark.sources.transcripts import write_transcripts
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -46,10 +47,32 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         n = 20000
     os.makedirs(_DATA_CACHE, exist_ok=True)
-    path = os.path.join(_DATA_CACHE, f"transcripts_{n}.parquet")
+    path = os.path.join(_DATA_CACHE, f"transcripts_{n}_s{seed}.parquet")
     if not os.path.exists(path):
-        write_transcripts(path, n, seed=42)
-    return spark.read.parquet(path)
+        write_transcripts(path, n, seed=seed)
+    return path
+
+
+def _transcripts(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    return spark.read.parquet(_transcripts_path(sf_dir, seed))
+
+
+_GRAPH_CACHE: dict[str, dict] = {}
+
+
+def _pipeline_graph(spark: SparkSession, sf_dir: str) -> dict:
+    """Build the transcript-pipeline graph ONCE per sf_dir and share it
+    across the three pipeline_* contract queries (round-1 rebuilt — and
+    re-parsed — the whole graph per query).  The contract corpus is small,
+    so a lazy persist of the parsed stage lets all three queries reuse one
+    parse; production-scale runs use run_pipeline's staging write instead."""
+    if sf_dir not in _GRAPH_CACHE:
+        from sqllog_analysis_spark.plans.pipeline import build
+
+        g = build(spark, _transcripts(spark, sf_dir))
+        g["parsed"].persist()  # lazy: fills on first materialization
+        _GRAPH_CACHE[sf_dir] = g
+    return _GRAPH_CACHE[sf_dir]
 
 
 # ---------------------------------------------------------------------------
@@ -372,25 +395,27 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """Candidate near-dup pairs via banded minhash LSH (rows-only check:
-    band-hash bucketing is not SQL-expressible in the oracle)."""
+    """Candidate near-dup pairs via banded minhash LSH, md5 hash flavor —
+    bit-identical to the DuckDB oracle (same shingling, same lexicographic
+    minhash over md5 digests, same band keys, same bucket cap).  The
+    murmur3/xxhash64 scale flavors share every line of the algorithm
+    except the hash primitive (operators/dedup.py), and are pinned by
+    pytest (tests/test_training_ops.py)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(d, n_hashes=32, bands=8, shingle_k=3)
-    return pairs.groupBy().agg(F.count("*").alias("n_candidate_pairs"))
+    return DD.minhash_lsh_pairs(
+        d, n_hashes=16, bands=4, shingle_k=3, max_bucket=200, hash_fn="md5"
+    ).orderBy("a", "b")
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash signatures (rows-only check)."""
-    d = _t(spark, sf_dir, "documents")
-    sig = DD.simhash(d)
-    return sig.groupBy().agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("simhash").alias("n_signatures"),
-    )
+    """Per-document 60-bit SimHash signatures, md5 hash flavor (first 15
+    hex chars of md5(token) as the token hash — reproducible in DuckDB)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DD.simhash(d, bits=60, hash_fn="md5").orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs ≥ 0.5 among first 300 docs (rows-only)."""
+    """Exact 3-gram Jaccard pairs ≥ 0.5 among first 300 docs."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return DD.ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("a", "b")
 
@@ -409,23 +434,17 @@ def q_lsh_cosine_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_pipeline_sink_counts(spark, sf_dir):
-    from sqllog_analysis_spark.plans.pipeline import build
-
-    g = build(spark, _transcripts(spark, sf_dir))
+    g = _pipeline_graph(spark, sf_dir)
     return g["sink_counts"].orderBy("category")
 
 
 def q_pipeline_errors(spark, sf_dir):
-    from sqllog_analysis_spark.plans.pipeline import build
-
-    g = build(spark, _transcripts(spark, sf_dir))
+    g = _pipeline_graph(spark, sf_dir)
     return g["errors"].groupBy().agg(F.count("*").alias("n_errors"))
 
 
 def q_pipeline_conv_buckets(spark, sf_dir):
-    from sqllog_analysis_spark.plans.pipeline import build
-
-    g = build(spark, _transcripts(spark, sf_dir))
+    g = _pipeline_graph(spark, sf_dir)
     return (
         g["conv_buckets"]
         .groupBy("category")
@@ -476,8 +495,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# DuckDB shingle expression shared by the minhash / ngram oracles — the
+# exact mirror of operators/dedup.py:_shingles (k-word shingles of
+# lowercased whitespace-tokenized text; <k tokens ⇒ one whole-text shingle).
+def _shingles_sql(k: int, where: str = "") -> str:
+    return f"""
+        docs AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents {where}
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= {k} THEN
+                       list_transform(generate_series(1, len(w) - {k - 1}),
+                                      i -> array_to_string(w[i:i + {k - 1}], ' '))
+                   ELSE [array_to_string(w, ' ')] END AS gs
+            FROM docs
+        )"""
+
+
+def _minhash_lsh_sql(n_hashes: int, bands: int, shingle_k: int, max_bucket: int) -> str:
+    r = n_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(n_hashes)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_shingles_sql(shingle_k)},
+        ex AS (SELECT doc_id, unnest(gs) AS s FROM sh),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM ex GROUP BY doc_id
+        ),
+        bands AS (
+            {band_selects}
+        ),
+        capped AS (
+            SELECT band, bucket FROM bands
+            GROUP BY band, bucket HAVING count(*) <= {max_bucket}
+        ),
+        b2 AS (SELECT bands.* FROM bands JOIN capped USING (band, bucket))
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM b2 x JOIN b2 y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ORDER BY a, b
+    """
+
+
+def _simhash_sql(bits: int, where: str) -> str:
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+            FROM documents {where}
+        ),
+        h AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS v FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, ({sig})::BIGINT AS simhash
+        FROM votes ORDER BY doc_id
+    """
+
+
+def _ngram_jaccard_sql(n: int, threshold: float, max_freq: int, where: str) -> str:
+    return f"""
+        WITH {_shingles_sql(n, where)},
+        grams AS (
+            SELECT DISTINCT doc_id, g
+            FROM (SELECT doc_id, unnest(gs) AS g FROM sh)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        gfreq AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= {max_freq}),
+        gf AS (SELECT grams.* FROM grams JOIN gfreq USING (g)),
+        common AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+            FROM gf x JOIN gf y ON x.g = y.g AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b,
+               ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= {threshold}
+        ORDER BY a, b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_lsh": _minhash_lsh_sql(16, 4, 3, 200),
+        "simhash": _simhash_sql(60, "WHERE doc_id < 200"),
+        "ngram_jaccard": _ngram_jaccard_sql(3, 0.5, 1000, "WHERE doc_id < 300"),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

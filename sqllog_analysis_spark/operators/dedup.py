@@ -4,22 +4,33 @@ All four variants are shuffle-conscious Spark-native compositions (no
 Python UDFs):
 
 - exact:       hash-groupBy on a normalized fingerprint — one shuffle.
-- minhash LSH: shingle → 64 minhashes (min over F.hash(shingle, seed)) →
-               band buckets → bucket self-join.  The explode/groupBy is the
-               classic map-side-combinable shape; candidate pairs are only
-               generated within buckets, never all-pairs.
-- simhash:     per-bit weighted sign aggregation → 64-bit signature;
+- minhash LSH: shingle → minhashes → band buckets → bucket self-join.
+               Candidate pairs are only generated within buckets, never
+               all-pairs; a per-bucket cap bounds degenerate buckets.
+- simhash:     per-bit weighted sign aggregation → bit signature;
                near-dups share signatures (or differ in few bits).
 - n-gram Jaccard: exact similarity on LSH candidates (or small inputs).
 
+Hash functions (``hash_fn``):
+- ``murmur3`` / ``xxhash64``: JVM-native, the 100 TB scale path.
+- ``md5``: bit-identical in Spark and DuckDB (and every other engine), so
+  the driver contract can hash-check signatures and candidate pairs
+  against a pure-SQL oracle.  Same algorithm, only the hash primitive
+  differs.  Minhash over md5 takes the LEXICOGRAPHIC min of the hex
+  digests (a hex string is a fixed-width big-endian encoding, so string
+  order == numeric order); simhash over md5 uses the first 15 hex chars
+  as a 60-bit integer.
+
 At 100 TB the only all-to-all structure is the band-bucket shuffle, whose
 keys are (band_idx, band_hash) — fine-grained and uniform by construction;
-hot buckets (boilerplate docs) are capped with a per-bucket size limit.
+hot buckets (boilerplate docs) are capped with a per-bucket size limit
+computed by a window count over the SAME partitioning as the self-join,
+so the cap adds no extra exchange.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from sqllog_analysis_spark.functions.text import fingerprint
 
@@ -48,25 +59,32 @@ def _shingles(text_col: str, k: int) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _minhash_hasher(hash_fn: str):
+    """seed → (shingle → hash column).  NB: pyspark treats 2-param lambdas
+    as the (element, index) higher-order variant, so the seed must be
+    closed over, not a lambda parameter."""
+    if hash_fn == "murmur3":
+        return lambda seed: (lambda s: F.hash(s, F.lit(seed)))
+    if hash_fn == "md5":
+        return lambda seed: (lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    raise ValueError(f"unsupported minhash hash_fn: {hash_fn}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 64,
     shingle_k: int = 5,
+    hash_fn: str = "murmur3",
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — minhash over shingles, n_hashes seeded murmur3
-    hashes computed JVM-side.
+    """(id, h0..h{n-1}) — minhash over shingles, n_hashes seeded hashes
+    computed JVM-side.
 
-    Fully NARROW: per row, ``array_min(transform(shingles, s → hash(s, i)))``
+    Fully NARROW: per row, ``array_min(transform(shingles, s → h(s, i)))``
     — no explode, no shuffle, scales linearly with partitions (the naive
     explode + 64-column groupBy shuffles |docs|×|shingles| rows)."""
-    # NB: the lambda must be unary — pyspark treats 2-param lambdas as the
-    # (element, index) higher-order variant, so `lambda s, i=i` would bind
-    # the array index, not the loop seed
-    def hasher(seed: int):
-        return lambda s: F.hash(s, F.lit(seed))
-
+    hasher = _minhash_hasher(hash_fn)
     sigs = [
         F.array_min(F.transform(F.col("_shingles"), hasher(i))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -84,33 +102,41 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket: int = 200,
+    hash_fn: str = "murmur3",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded minhash LSH.
 
     Docs sharing any band bucket become a candidate pair.  ``max_bucket``
     caps degenerate buckets (e.g. empty docs) so the self-join can't
     quadratically explode — the dropped buckets are exact-duplicate
-    clusters better handled by exact_dedup.
+    clusters better handled by exact_dedup.  The cap is a window count
+    over (band, bucket): it reuses the exact partitioning the self-join
+    needs, so capping adds no extra shuffle.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, hash_fn)
+
+    def band_key(b: int) -> F.Column:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            # hex digests: concatenation is an exact (injective) band key,
+            # and is reproducible in any SQL engine for the oracle
+            return F.concat_ws("|", *cols)
+        return F.hash(*cols).cast("string")
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.hash(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "bucket"
-            ),
-        )
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
         for b in range(bands)
     ]
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    counts = buckets.groupBy("band", "bucket").agg(F.count("*").alias("c"))
-    small = buckets.join(
-        counts.filter(F.col("c") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
+    w = Window.partitionBy("band", "bucket")
+    small = (
+        buckets.withColumn("_c", F.count("*").over(w))
+        .filter(F.col("_c") <= max_bucket)
+        .drop("_c")
     )
     a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
     b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
@@ -123,15 +149,36 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: sign of per-bit sums of token hashes.
+    """SimHash per document: sign of per-bit sums of token hashes.
 
     Fully NARROW: token hashes live in a per-row array; each bit's signed
-    sum is an ``aggregate`` over that array — no explode, no shuffle."""
+    sum is an ``aggregate`` over that array — no explode, no shuffle.
+
+    ``xxhash64`` (default) gives a genuine 64-bit signature (F.hash is
+    32-bit murmur3 — sign-extending it would replicate bit 31's vote into
+    bits 31-63).  ``md5`` gives a 60-bit signature whose bits are
+    reproducible in any SQL engine (first 15 hex chars as an integer),
+    used by the driver-contract oracle.
+    """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    th = F.transform(toks, lambda t: F.hash(t).cast("long"))
+    if hash_fn == "xxhash64":
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+    elif hash_fn == "md5":
+        bits = min(bits, 60)
+        th = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        raise ValueError(f"unsupported simhash hash_fn: {hash_fn}")
+
     sig = F.lit(0).cast("long")
+
     def make_merge(i: int):
         # bit test via mask; bit 63 is the sign bit of the signed long hash.
         # binary lambda only — a 3rd param would be read as the index variant

@@ -5,6 +5,7 @@ duckdb_impl.rs:796-936) restated Spark-first:
 
   transcripts ──window(conv_id, turn_idx)──► ordered turns
       └► parse (Arrow-vectorized mapInPandas, narrow)
+      └► STAGE: one columnar write of the parsed output (run_pipeline)
       └► enrich (broadcast dim join)
       └► route  (when-chain category + parse_errors split,
                  conversation-level degenerate rule)
@@ -14,8 +15,19 @@ duckdb_impl.rs:796-936) restated Spark-first:
 
 Shuffle budget: exactly ONE exchange of the full data (hash by conv_id for
 the ordering window); the parse/enrich/route stages are narrow on top of
-it, the degenerate-conv flags aggregation reuses the same partitioning,
-and every join against driver-small sides is broadcast.
+it, the degenerate-conv flags aggregation reads only (conv_id, has_ts)
+from the staged columnar output, and every join against driver-small
+sides is broadcast.
+
+Scale design: the parse stage (the single most expensive stage) runs
+EXACTLY ONCE per run — its output is written to a staging parquet dir and
+every downstream consumer (routing fan-out, error sink, aggregates) scans
+that staged data with column pruning.  This replaces the round-1 design
+(MEMORY_AND_DISK persist + eager count), which (a) cannot cache a 100 TB
+parse output, and (b) serialized a full driver barrier before any sink
+ran — the measured scaling-efficiency killer.  A staging write is the
+standard checkpoint pattern: it parallelizes like any other task work and
+adds no driver synchronization beyond the job boundary.
 """
 
 from __future__ import annotations
@@ -64,53 +76,41 @@ def load_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(role_tool_dim_rows(), schema=DIM_SCHEMA)
 
 
-def build(
+def parse_stage(
     spark: SparkSession,
     transcripts: DataFrame,
+    stable_order: bool = True,
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """The parse stage: one conv_id exchange + ordering window + the
+    Arrow-vectorized parser.  Narrow on top of the single shuffle."""
+    n = target_partitions or spark.sparkContext.defaultParallelism
+    t = transcripts.repartition(n, "conv_id")
+    if stable_order:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        t = t.withColumn("turn_seq", F.row_number().over(w))
+    return parse_transcripts(t)
+
+
+def downstream(
+    spark: SparkSession,
+    parsed: DataFrame,
     dim: DataFrame | None = None,
     slow_ms: int = 1000,
     bucket: str = "hour",
-    stable_order: bool = True,
-    persist: bool = True,
-    target_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Transformation graph — no writes, no actions.  Returns every logical
-    output so tests / the driver contract can materialize any of them
-    independently.
+    """Everything after the parse stage, as a pure transformation graph.
 
-    Shuffle plan: ONE explicit hash repartition on conv_id sizes the stage
-    to the cluster and co-locates conversations, so the ordering window and
-    the degenerate-conv aggregation reuse that partitioning instead of
-    exchanging again.  ``persist=True`` caches the parsed output
-    (memory-and-disk) because every downstream sink/aggregate fans out from
-    it — without it each action would re-run the parse (the single most
-    expensive stage) once per output.
-    """
+    ``parsed`` is ideally a staged (already materialized) source so the
+    branches below share its scan instead of re-running the parse."""
     if dim is None:
         dim = load_dim(spark)
-    n = target_partitions or spark.sparkContext.defaultParallelism
-    transcripts = transcripts.repartition(n, "conv_id")
-    if stable_order:
-        w = Window.partitionBy("conv_id").orderBy("turn_idx")
-        transcripts = transcripts.withColumn("turn_seq", F.row_number().over(w))
-    parsed = parse_transcripts(transcripts)
-    if persist:
-        from pyspark import StorageLevel
-
-        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
-        # materialize eagerly: the degenerate-conv broadcast subquery and the
-        # probe side would otherwise race to fill the cache and run the
-        # parse twice concurrently
-        parsed.count()
     degen = degenerate_convs(parsed)
     routed = route_records_clean(
         route_records(enrich_with_dim(parsed, dim), slow_ms=slow_ms), degen
     )
-    if persist:
-        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     errors = route_errors(parsed, degen)
     return {
-        "transcripts": transcripts,
         "parsed": parsed,
         "routed": routed,
         "errors": errors,
@@ -119,21 +119,90 @@ def build(
     }
 
 
+def build(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    dim: DataFrame | None = None,
+    slow_ms: int = 1000,
+    bucket: str = "hour",
+    stable_order: bool = True,
+    target_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    """Pure transformation graph — no writes, no actions, no caching.
+    Each returned output materializes independently (the parse re-runs per
+    action); callers that materialize several outputs should either stage
+    the parse via :func:`run_pipeline` / :func:`build_staged` or mark
+    ``graph['parsed'].persist()`` themselves for small inputs."""
+    parsed = parse_stage(spark, transcripts, stable_order, target_partitions)
+    g = downstream(spark, parsed, dim, slow_ms=slow_ms, bucket=bucket)
+    g["transcripts"] = transcripts
+    return g
+
+
+def build_staged(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    stage_dir: str,
+    dim: DataFrame | None = None,
+    slow_ms: int = 1000,
+    bucket: str = "hour",
+    stable_order: bool = True,
+    target_partitions: int | None = None,
+    reuse_stage: bool = False,
+) -> dict[str, DataFrame]:
+    """Run the parse ONCE, write it to ``stage_dir``, and build the
+    downstream graph over the staged scan.  The one action here is the
+    staging write; everything else stays lazy."""
+    if not (reuse_stage and os.path.exists(os.path.join(stage_dir, "_SUCCESS"))):
+        parse_stage(spark, transcripts, stable_order, target_partitions).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    parsed = spark.read.parquet(stage_dir)
+    g = downstream(spark, parsed, dim, slow_ms=slow_ms, bucket=bucket)
+    g["transcripts"] = transcripts
+    return g
+
+
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
-    """Execute with manifest-gated, idempotent, resumable stage writes."""
+    """Execute with manifest-gated, idempotent, resumable stage writes.
+
+    Stage list (each independently resumable):
+      parsed       → <out>/_staged_parsed   (the single parse materialization)
+      records      → <out>/records          (partitioned category fan-out)
+      parse_errors → <out>/parse_errors     (JSONL)
+      aggregates   → <out>/sink_counts, <out>/conv_buckets
+    """
     manifest = Manifest(os.path.join(cfg.output_dir, "_manifest"))
     fp = fingerprint_input(
         cfg.input_path, {"slow_ms": cfg.slow_ms, "bucket": cfg.bucket, **cfg.conf}
     )
+    stage_dir = os.path.join(cfg.output_dir, "_staged_parsed")
 
     transcripts = spark.read.parquet(cfg.input_path)
-    g = build(
+    parse_committed = cfg.resume and manifest.is_committed("parsed", fp)
+    g = build_staged(
         spark,
         transcripts,
+        stage_dir,
         slow_ms=cfg.slow_ms,
         bucket=cfg.bucket,
         stable_order=cfg.stable_order,
+        reuse_stage=parse_committed,
     )
+    ran, skipped = [], []
+    if parse_committed:
+        skipped.append("parsed")
+    else:
+        lineage = [
+            r.asDict() for r in partition_lineage(g["parsed"], "parsed").collect()
+        ]
+        manifest.commit(
+            "parsed",
+            fp,
+            row_count=sum(p["row_count"] for p in lineage),
+            partitions=lineage,
+        )
+        ran.append("parsed")
 
     stages = {
         "records": lambda: write_category_sinks(g["routed"], cfg.output_dir),
@@ -148,7 +217,6 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         "aggregates": g["sink_counts"],
     }
 
-    ran, skipped = [], []
     for stage, write in stages.items():
         if cfg.resume and manifest.is_committed(stage, fp):
             skipped.append(stage)
@@ -169,8 +237,6 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     counts = {r["category"]: r["n"] for r in g["sink_counts"].collect()}
     n_errors = (manifest.read("parse_errors") or {}).get("row_count", 0)
     n_turns = transcripts.count()
-    g["parsed"].unpersist()
-    g["routed"].unpersist()
     s = make_summary(n_turns, counts, n_errors)
     s.update({"stages_ran": ran, "stages_skipped": skipped, "fingerprint": fp})
     return s

@@ -44,7 +44,7 @@ def test_discovery_rules(tmp_path):
 def test_file_mode_end_to_end(spark, tmp_path):
     d = make_dir(tmp_path)
     tdf = read_sqllog_dir(spark, d)
-    g = build(spark, tdf, persist=False)
+    g = build(spark, tdf)
 
     recs = g["routed"].collect()
     by_file = {}
@@ -84,7 +84,7 @@ def test_empty_file_yields_nothing(spark, tmp_path):
     d = tmp_path / "logs2"
     d.mkdir()
     (d / "dmsql_empty.log").write_text("", encoding="utf-8")
-    g = build(spark, read_sqllog_dir(spark, str(d)), persist=False)
+    g = build(spark, read_sqllog_dir(spark, str(d)))
     assert g["routed"].count() == 0 and g["errors"].count() == 0
 
 
@@ -93,7 +93,7 @@ def test_error_sink_jsonl_shape(spark, tmp_path):
     from sqllog_analysis_spark.sinks.writers import write_error_sink
 
     d = make_dir(tmp_path)
-    g = build(spark, read_sqllog_dir(spark, d), persist=False)
+    g = build(spark, read_sqllog_dir(spark, d))
     out = str(tmp_path / "sink")
     write_error_sink(g["errors"], out)
     lines = []

@@ -194,20 +194,22 @@ def test_run_pipeline_and_resume(spark, tmp_path):
     write_transcripts(inp, 800, seed=5)
 
     s1 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
-    assert set(s1["stages_ran"]) == {"records", "parse_errors", "aggregates"}
+    assert set(s1["stages_ran"]) == {"parsed", "records", "parse_errors", "aggregates"}
     assert s1["records_routed"] > 0 and s1["parse_errors"] > 0
 
     recs1 = spark.read.parquet(os.path.join(out, "records"))
     n1 = recs1.count()
 
-    # resume: nothing re-runs, outputs unchanged, no duplicate rows
+    # resume: nothing re-runs (including the parse stage), outputs
+    # unchanged, no duplicate rows
     s2 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
     assert s2["stages_ran"] == [] and set(s2["stages_skipped"]) == {
-        "records", "parse_errors", "aggregates"
+        "parsed", "records", "parse_errors", "aggregates"
     }
     assert spark.read.parquet(os.path.join(out, "records")).count() == n1
 
     # partial resume: drop one stage's manifest → only that stage re-runs
+    # (the staged parse is reused, not recomputed)
     os.remove(os.path.join(out, "_manifest", "parse_errors.json"))
     s3 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
     assert s3["stages_ran"] == ["parse_errors"]
@@ -221,4 +223,4 @@ def test_run_pipeline_and_resume(spark, tmp_path):
     # input change invalidates the fingerprint → full re-run
     write_transcripts(inp, 900, seed=6)
     s4 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
-    assert set(s4["stages_ran"]) == {"records", "parse_errors", "aggregates"}
+    assert set(s4["stages_ran"]) == {"parsed", "records", "parse_errors", "aggregates"}

@@ -3,54 +3,70 @@ efficiency between N- and 4N-executor runs; sandbox protocol per
 BASELINE.md: identical job, identical input, local[8] vs local[32],
 efficiency = throughput_32 / (4 × throughput_8)).
 
-Each run is a separate subprocess → fresh JVM, no shared executor state.
-Writes BENCH/BASELINE.md.  Usage: python tools/bench_scaling.py [n_turns]
+What runs: the full ``run_pipeline`` (parse → staged write → route →
+sink writes → aggregates → manifest), i.e. the product path, not a
+stripped-down kernel.  Each leg is a separate subprocess → fresh JVM, no
+shared executor state.
+
+Because this sandbox VM's advertised 32 vCPUs do not deliver 32 cores of
+real compute, the script FIRST measures the hardware ceiling with a pure
+multiprocessing sweep (no Spark, no I/O) and reports it next to the
+pipeline numbers, so the software-vs-hardware attribution is data, not
+argument.  Writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_turns]
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 RUNNER = r"""
-import json, os, sys, time
+import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
-from sqllog_analysis_spark.plans.pipeline import build
+from sqllog_analysis_spark.plans.pipeline import PipelineConfig, run_pipeline
 from sqllog_analysis_spark.session import get_spark
 
 cores = int(sys.argv[1]); path = sys.argv[2]
-# both legs get an ample, identical heap so cache spill doesn't confound
-# the parallelism comparison (the box has 128 GiB)
+# both legs get an ample, identical heap so spill doesn't confound the
+# parallelism comparison (the box has 128 GiB)
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=max(8, cores),
                   extra_conf={{"spark.sql.adaptive.enabled": "false",
-                               # split the ~100MB input file across tasks; on a
-                               # real cluster the default 128m is right, here the
+                               # split the input across tasks; on a real
+                               # cluster the default 128m is right, here the
                                # whole input must parallelize across N<=32 cores
                                "spark.sql.files.maxPartitionBytes": "8m"}})
-tdf = spark.read.parquet(path)
-n = tdf.count()
+n = spark.read.parquet(path).count()
+base = "/dev/shm/scale_out" if os.path.isdir("/dev/shm") else "/tmp/scale_out"
+work = f"{{base}}_{{cores}}_{{os.getpid()}}"
+
+def one_run(inp, tag):
+    out = os.path.join(work, tag)
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out, resume=False))
+    return time.perf_counter() - t0
+
 # warm-up: JVM/codegen/Arrow worker spin-up, excluded from the measurement
-wg = build(spark, tdf.limit(2000))
-wg["sink_counts"].collect()
-wg["parsed"].unpersist(); wg["routed"].unpersist()
+warm = os.path.join(work, "warm.parquet")
+spark.read.parquet(path).limit(2000).write.mode("overwrite").parquet(warm)
+one_run(warm, "warm")
 # several samples in one warm JVM; min = least noise-contaminated (the
 # sandbox host injects one-sided multi-second stalls)
-samples = []
-for _ in range(3):
-    t0 = time.perf_counter()
-    g = build(spark, tdf)
-    g["routed"].count(); g["errors"].count()
-    g["sink_counts"].collect(); g["conv_buckets"].count()
-    samples.append(time.perf_counter() - t0)
-    g["parsed"].unpersist(); g["routed"].unpersist()
+samples = [one_run(path, "t") for _ in range(3)]
+shutil.rmtree(work, ignore_errors=True)
 sec = min(samples)
-print(json.dumps({{"cores": cores, "turns": n, "sec": sec, "tps": n / sec, "samples": samples}}))
+print(json.dumps({{"cores": cores, "turns": n, "sec": sec, "tps": n / sec,
+                   "samples": [round(s, 2) for s in samples]}}))
 """
 
 
@@ -63,6 +79,34 @@ def run(cores: int, path: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _burn(n: int) -> int:
+    # pure-CPU integer work, no memory traffic to speak of
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    return acc
+
+
+def cpu_ceiling_sweep(levels=(1, 2, 4, 8, 16, 32), n=6_000_000, reps=3) -> dict[int, float]:
+    """Effective parallel speedup of pure-CPU work at each process count —
+    the HARDWARE ceiling any software on this VM is subject to."""
+    base = None
+    eff: dict[int, float] = {}
+    for p in levels:
+        best = float("inf")
+        for _ in range(reps):
+            with mp.Pool(p) as pool:
+                t0 = time.perf_counter()
+                pool.map(_burn, [n] * p)
+                best = min(best, time.perf_counter() - t0)
+        # throughput = work units / sec; speedup vs 1 proc
+        tput = p * n / best
+        if base is None:
+            base = tput
+        eff[p] = tput / base
+    return eff
+
+
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     from sqllog_analysis_spark.sources.transcripts import write_transcripts
@@ -70,50 +114,72 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, ".data"), exist_ok=True)
     path = os.path.join(REPO, ".data", f"transcripts_scale_{n_turns}.parquet")
     if not os.path.exists(path):
-        sys.path.insert(0, REPO)
         write_transcripts(path, n_turns, seed=42)
 
-    n_lo = int(os.environ.get("SCALING_N", "2"))
-    n_hi = 4 * n_lo
-    # the sandbox VM shows multi-second external jitter (identical runs vary
-    # up to 4×); interleave the legs and keep the best (least-contaminated)
-    # sample per leg
-    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
-    runs_lo, runs_hi = [], []
-    for _ in range(rounds):
-        runs_lo.append(run(n_lo, path))
-        runs_hi.append(run(n_hi, path))
-    r8 = min(runs_lo, key=lambda r: r["sec"])
-    r32 = min(runs_hi, key=lambda r: r["sec"])
-    eff = r32["tps"] / (4 * r8["tps"])
-    print(json.dumps({"lo_secs": [round(r["sec"], 1) for r in runs_lo],
-                      "hi_secs": [round(r["sec"], 1) for r in runs_hi]}))
+    sweep = cpu_ceiling_sweep()
+    print(json.dumps({"cpu_sweep_speedup": {str(k): round(v, 2) for k, v in sweep.items()}}))
 
+    levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")]
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    runs: dict[int, list] = {c: [] for c in levels}
+    for _ in range(rounds):
+        for c in levels:  # interleave to spread host jitter across legs
+            runs[c].append(run(c, path))
+    best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in runs.items()}
+    for c in levels:
+        print(json.dumps({"cores": c, "secs": [round(r["sec"], 1) for r in runs[c]],
+                          "best_tps": round(best[c]["tps"])}))
+
+    eff_8_32 = best[32]["tps"] / (4 * best[8]["tps"]) if 8 in best and 32 in best else None
+    eff_2_8 = best[8]["tps"] / (4 * best[2]["tps"]) if 2 in best and 8 in best else None
+    hw_8_32 = sweep.get(32, 0) / 4 / (sweep.get(8, 1) or 1)
+    hw_2_8 = sweep.get(8, 0) / 4 / (sweep.get(2, 1) or 1)
+
+    rows = "\n".join(
+        f"| {c} | {best[c]['turns']} | {best[c]['sec']:.2f} | {best[c]['tps']:.0f} |"
+        for c in levels
+    )
+    sweep_rows = "\n".join(
+        f"| {p} | {v:.2f} | {v / p:.2f} |" for p, v in sweep.items()
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 North-rule criterion: ≥0.8 throughput scaling efficiency between N and 4N
-executors.  Sandbox protocol (BASELINE.md): the identical end-to-end
-pipeline (parse → enrich → route → aggregate, all outputs materialized) on
-the identical input at two parallelism levels (N and 4N cores), separate
-JVMs, after a full-width warm-up run to exclude JVM/Arrow startup.
+executors.  Sandbox protocol (BASELINE.md): the identical end-to-end job —
+the full ``run_pipeline`` product path (parse → staged write → enrich →
+route → partitioned sink writes → aggregates → manifest) — on the
+identical input at two parallelism levels, separate JVMs, best of
+{rounds}×3 interleaved samples after a full warm-up run (JVM codegen +
+Arrow worker spin-up are one-time session costs, excluded).
 
-N=2, 4N=8 cores.  Why not 8 vs 32: this sandbox VM advertises 32 vCPUs but
-a pure-CPU multiprocessing sweep measures only ~12 effective cores at 16
-procs and ~21 at 32 — the HARDWARE ceiling for 8→32 efficiency is ~0.67
-(and ~0.85 for 4→16), so no software could evidence ≥0.8 there.  At 2→8
-the machine is linear (1.9 → 7.2 effective cores, ceiling 0.95), so the
-measurement isolates the PIPELINE's scaling behavior, which is the
-property the rule is about: every stage is either narrow (parse, enrich,
-route — scale linearly with partitions) or a map-side-combined aggregation
-whose shuffle volume is per-conversation, not per-turn.
+## Pipeline throughput by parallelism
 
-| run | cores | turns | wall sec | throughput (turns/sec) |
-|---|---|---|---|---|
-| N    | 2 | {r8['turns']} | {r8['sec']:.2f} | {r8['tps']:.0f} |
-| 4N   | 8 | {r32['turns']} | {r32['sec']:.2f} | {r32['tps']:.0f} |
+| cores | turns | wall sec | throughput (turns/sec) |
+|---|---|---|---|
+{rows}
 
-**efficiency = tps_32 / (4 × tps_8) = {eff:.3f}**  (requirement: ≥ 0.8)
+- **efficiency local[8] → local[32] (the prescribed protocol) =
+  {eff_8_32:.3f}**  (requirement: ≥ 0.8; hardware ceiling for this pair,
+  measured below: {hw_8_32:.3f})
+- **efficiency local[2] → local[8] = {eff_2_8:.3f}**  (requirement: ≥ 0.8;
+  hardware ceiling {hw_2_8:.3f})
+
+## Hardware ceiling: pure-CPU multiprocessing sweep
+
+Pure integer-arithmetic workers (zero I/O, zero Spark) on this VM's
+advertised 32 vCPUs.  "speedup" is throughput relative to 1 process;
+an ideal machine shows speedup == procs.
+
+| procs | speedup | parallel efficiency |
+|---|---|---|
+{sweep_rows}
+
+The per-pair hardware ceiling above is computed from this sweep as
+`speedup(4N) / (4 × speedup(N))` — the maximum ANY software can score on
+this box for that pair.  Where the pipeline's measured efficiency is at
+or above the hardware ceiling, the remaining gap is the machine, not the
+job's shuffle/partition structure.
 
 Input: deterministic synthetic transcripts corpus, {n_turns} turns
 (seed 42, sources/transcripts.py), shuffled row order, Zipf-skewed
@@ -127,7 +193,10 @@ same workload class (parse → route → load) under real data parallelism.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"n8": r8, "n32": r32, "efficiency": round(eff, 3)}))
+    print(json.dumps({"eff_8_32": round(eff_8_32, 3) if eff_8_32 else None,
+                      "eff_2_8": round(eff_2_8, 3) if eff_2_8 else None,
+                      "hw_ceiling_8_32": round(hw_8_32, 3),
+                      "hw_ceiling_2_8": round(hw_2_8, 3)}))
 
 
 if __name__ == "__main__":
