@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sqllog_analysis_spark.functions import text as TX  # noqa: E402
 from sqllog_analysis_spark.operators import dedup as DD  # noqa: E402
+from sqllog_analysis_spark.operators import multimodal as MM  # noqa: E402
 from sqllog_analysis_spark.operators import similarity as SIM  # noqa: E402
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -420,6 +421,22 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("a", "b")
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents → deterministic binary
+    media fixture → JVM-side length/sha256 + Arrow-batched decode (the
+    fake byte-histogram decoder, reproducible in SQL).  First 4 feature
+    dims exposed as columns for the value-hash check."""
+    d = _t(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.media_from_documents(d))
+    sel = [
+        F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+        for i in range(4)
+    ]
+    return feats.select("media_id", "kind", "n_bytes", "sha256", *sel).orderBy(
+        "media_id"
+    )
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
     """Hyperplane-LSH approximate neighbors (rows-only; approximate)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -489,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
         "pipeline_conv_buckets": q_pipeline_conv_buckets,
@@ -602,8 +620,39 @@ def _ngram_jaccard_sql(n: int, threshold: float, max_freq: int, where: str) -> s
     """
 
 
+def _media_features_sql() -> str:
+    """DuckDB mirror of media_from_documents → extract_features with the
+    fake byte-histogram decoder: the payload is the 32 ASCII chars of
+    md5(text), so bucket k of the %16 byte histogram counts hex digit k
+    plus (for k in 1..6) letter chr(96+k) ('a'=97 → 97%16=1, ... 'f'→6)."""
+    def occ(ch: str) -> str:
+        return f"(32 - len(replace(h, '{ch}', '')))"
+
+    fs = []
+    for k in range(4):
+        terms = [occ(str(k))]
+        if 1 <= k <= 6:
+            terms.append(occ(chr(96 + k)))
+        fs.append(f"ROUND(({' + '.join(terms)}) / 32.0, 6) AS f{k}")
+    f_cols = ",\n               ".join(fs)
+    return f"""
+        WITH m AS (
+            SELECT doc_id::BIGINT AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   md5(text) AS h
+            FROM documents
+        )
+        SELECT media_id, kind, 32::BIGINT AS n_bytes, sha256(h) AS sha256,
+               {f_cols}
+        FROM m ORDER BY media_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "media_features": _media_features_sql(),
         "minhash_lsh": _minhash_lsh_sql(16, 4, 3, 200),
         "simhash": _simhash_sql(60, "WHERE doc_id < 200"),
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5, 1000, "WHERE doc_id < 300"),

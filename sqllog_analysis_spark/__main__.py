@@ -5,9 +5,19 @@ or locally:
     python -m sqllog_analysis_spark --input <transcripts.parquet> --output <dir>
 
 Mirrors the reference CLI (src/main.rs → app::run, config in
-src/config.rs): config validation exits 2 on invalid values, missing input
+src/config.rs): configuration is discovered from ``$SQLLOG_CONFIG`` →
+``./config.toml`` → ``<config dir>/sqllog-analysis/config.toml`` (missing
+= defaults, malformed = exit 2, config.rs:182-219), CLI flags override
+file values, config validation exits 2 on invalid values, missing input
 warns and exits 0 (app.rs:110-113 empty-directory behavior), and the run
 prints the analysis summary the reference logs at the end of a batch.
+
+``--in-memory`` (or ``[warehouse] in_memory = true``) is the ephemeral-
+warehouse mode (C4, duckdb_impl.rs:66-84): sinks land in a temporary
+directory that is deleted when the run ends; results are NOT persisted
+and export is skipped with a warning — the reference's documented caveat
+(config.toml.example:29-34: an export connection re-opens the then-empty
+disk DB) made explicit instead of silently exporting nothing.
 """
 
 from __future__ import annotations
@@ -18,49 +28,95 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
+    from sqllog_analysis_spark.config import ConfigError, load_config, validate
+
     ap = argparse.ArgumentParser(prog="sqllog_analysis_spark")
-    ap.add_argument("--input", required=True, help="transcripts parquet path")
-    ap.add_argument("--output", required=True, help="output directory (sinks + manifest)")
-    ap.add_argument("--slow-ms", type=int, default=1000, help="slow-query threshold (ms)")
-    ap.add_argument("--bucket", default="hour", choices=["minute", "hour", "day"])
+    ap.add_argument("--config", default=None, help="config.toml path (overrides discovery)")
+    ap.add_argument("--input", default=None, help="transcripts parquet path")
+    ap.add_argument("--output", default=None, help="output directory (sinks + manifest)")
+    ap.add_argument("--slow-ms", type=int, default=None, help="slow-query threshold (ms)")
+    ap.add_argument("--bucket", default=None, choices=["minute", "hour", "day"])
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and recompute")
     ap.add_argument("--export", default=None, help="also export routed records as csv|json to <output>/export")
+    ap.add_argument("--in-memory", action="store_true", help="ephemeral warehouse: outputs are NOT persisted")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: local[*])")
     args = ap.parse_args(argv)
 
-    if args.slow_ms <= 0:
-        print("invalid --slow-ms: must be > 0", file=sys.stderr)
-        return 2  # config validation exits 2 (config.rs:298-308)
+    try:
+        cfg = load_config(path=args.config)
+        # CLI overrides file values, file values override defaults
+        if args.input is not None:
+            cfg.input = args.input
+        if args.output is not None:
+            cfg.output = args.output
+        if args.slow_ms is not None:
+            cfg.slow_ms = args.slow_ms
+        if args.bucket is not None:
+            cfg.bucket = args.bucket
+        if args.cores is not None:
+            cfg.cores = args.cores
+        if args.in_memory:
+            cfg.in_memory = True
+        if args.export is not None:
+            cfg.export_enabled = True
+            cfg.export_format = args.export.strip().lower()
+        validate(cfg)
+    except ConfigError as e:
+        print(f"配置错误: {e}", file=sys.stderr)
+        return 2  # config validation exits 2 (config.rs:211, 298-308)
 
     import os
 
-    if not os.path.exists(args.input):
-        print(f"warning: input not found: {args.input}", file=sys.stderr)
+    if not os.path.exists(cfg.input):
+        print(f"warning: input not found: {cfg.input}", file=sys.stderr)
         return 0  # empty input is a warn-and-return (app.rs:110-113)
+
+    out_dir = cfg.output
+    tmp_ctx = None
+    if cfg.in_memory:
+        import tempfile
+
+        tmp_ctx = tempfile.TemporaryDirectory(prefix="sqllog_mem_")
+        out_dir = tmp_ctx.name
 
     from sqllog_analysis_spark.plans.pipeline import PipelineConfig, run_pipeline
     from sqllog_analysis_spark.session import get_spark
 
-    spark = get_spark("sqllog_analysis_spark", cores=args.cores)
-    summary = run_pipeline(
-        spark,
-        PipelineConfig(
-            input_path=args.input,
-            output_dir=args.output,
-            slow_ms=args.slow_ms,
-            bucket=args.bucket,
-            resume=not args.no_resume,
-        ),
-    )
-    if args.export:
-        from sqllog_analysis_spark.sinks.writers import export_table, read_sink
-
-        export_table(
-            read_sink(spark, args.output),
-            args.export,
-            os.path.join(args.output, "export"),
+    spark = get_spark("sqllog_analysis_spark", cores=cfg.cores)
+    try:
+        summary = run_pipeline(
+            spark,
+            PipelineConfig(
+                input_path=cfg.input,
+                output_dir=out_dir,
+                slow_ms=cfg.slow_ms,
+                bucket=cfg.bucket,
+                resume=not args.no_resume and not cfg.in_memory,
+            ),
         )
-    print(json.dumps(summary, ensure_ascii=False))
+        if cfg.export_enabled:
+            if cfg.in_memory:
+                # reference caveat: in-memory results are not exportable
+                # (config.toml.example:29-34)
+                print(
+                    "warning: in-memory warehouse — export skipped, nothing persisted",
+                    file=sys.stderr,
+                )
+            else:
+                from sqllog_analysis_spark.sinks.writers import export_table, read_sink
+
+                export_table(
+                    read_sink(spark, out_dir),
+                    cfg.export_format,
+                    os.path.join(out_dir, "export"),
+                )
+        summary["in_memory"] = cfg.in_memory
+        if cfg.config_path:
+            summary["config"] = cfg.config_path
+        print(json.dumps(summary, ensure_ascii=False))
+    finally:
+        if tmp_ctx is not None:
+            tmp_ctx.cleanup()
     return 0
 
 

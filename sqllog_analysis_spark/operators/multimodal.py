@@ -1,24 +1,31 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media ride through the engine as opaque ``binary`` payloads with typed
-metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas functions over ``mapInPandas`` so each task processes
-whole batches with bounded memory.  The decode step itself is STUBBED
-(image/audio libraries are not in this container): ``decoder=None`` uses a
-deterministic fake (byte-statistics features) and a real decoder (PIL,
-torchaudio, ...) can be injected without touching the Spark plumbing —
-the schema, partitioning, UDF signature, and batch shapes are real and
-tested.
+metadata.  The split of work is the one that survives 100 TB:
+
+- byte-level metrics (payload length, sha256 content hash) are computed
+  JVM-SIDE with built-in expressions (F.length / F.sha2) inside
+  whole-stage codegen — no Python involved;
+- ONLY the decode → feature-vector step crosses into Python, as an
+  Arrow-batched ``mapInPandas`` stage that passes the JVM-computed columns
+  through untouched (narrow, no join-back shuffle).
+
+The decode step itself is STUBBED (image/audio libraries are not in this
+container): ``decoder=None`` uses a deterministic fake (normalized byte
+histogram) and a real decoder (PIL, torchaudio, ...) can be injected
+without touching the Spark plumbing — schema, partitioning, UDF
+signature, and batch shapes are real and tested, and the fake decode is
+deterministic enough to be oracle-checked end-to-end (the driver
+contract's ``media_features`` query reproduces it in pure SQL).
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -37,10 +44,40 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("sha256", T.StringType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
+
+_KIND = {0: ("image", "image/png"), 1: ("audio", "audio/wav"), 2: ("video", "video/mp4")}
+
+
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media fixture: every document becomes one media row
+    whose payload is the ASCII bytes of md5(text) — a stand-in blob that
+    is cheap, reproducible in any engine, and exercises the full binary
+    plumbing (the real pipeline would read actual image/audio bytes from
+    a blob store column with exactly this schema)."""
+    kind_idx = (F.col(id_col) % 3).cast("int")
+    kind = (
+        F.when(kind_idx == 0, _KIND[0][0])
+        .when(kind_idx == 1, _KIND[1][0])
+        .otherwise(_KIND[2][0])
+    )
+    mime = (
+        F.when(kind_idx == 0, _KIND[0][1])
+        .when(kind_idx == 1, _KIND[1][1])
+        .otherwise(_KIND[2][1])
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.md5(F.col(text_col)), "UTF-8").alias("payload"),
+        mime.alias("mime"),
+        F.when(kind_idx == 0, F.lit(64)).cast("int").alias("width"),
+        F.when(kind_idx == 0, F.lit(48)).cast("int").alias("height"),
+        F.when(kind_idx != 0, (F.col(id_col) % 100) * 1000).cast("long").alias("duration_ms"),
+    )
 
 
 def _fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -60,28 +97,34 @@ def extract_features(
     decoder: Callable[[bytes], np.ndarray] | None = None,
     dim: int = 16,
 ) -> DataFrame:
-    """binary payload → fixed-dim feature vector, Arrow-batched."""
+    """binary payload → (n_bytes, sha256 — JVM-side) + fixed-dim feature
+    vector (decode — Arrow-batched Python).  Narrow end to end."""
     decode = decoder or (lambda b: _fake_decode_features(b, dim))
+
+    pre = media.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            # only the decode runs in Python; n_bytes/sha256 pass through
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "sha1": payloads.map(
-                        lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
-                    ),
-                    "feature": payloads.map(
+                    "n_bytes": pdf["n_bytes"],
+                    "sha256": pdf["sha256"],
+                    "feature": pdf["payload"].map(
                         lambda b: decode(bytes(b)).tolist() if b is not None else None
                     ),
                 }
             )
 
-    cols = ["media_id", "kind", "payload"]
-    return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+    return pre.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def real_decode_stub(payload: bytes) -> np.ndarray:

@@ -19,9 +19,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_category_sinks(routed: DataFrame, out_dir: str) -> None:
-    """One pass, partitioned fan-out: <out_dir>/category=<c>/dt=<d>/*.parquet."""
+    """One pass, partitioned fan-out: <out_dir>/category=<c>/dt=<d>/*.parquet.
+
+    Rows are sorted WITHIN each task partition by (session, thread, trx_id)
+    before the write — the Spark analog of the reference's deferred indexes
+    on exactly those columns (duckdb_impl.rs:124-136, 663-667): parquet
+    row-group min/max stats on a sorted column give data skipping for
+    point/range lookups, with no shuffle added (the sort is task-local)."""
     (
         routed.withColumn("dt", F.to_date("ts"))
+        # partition columns lead the sort so the file writer's required
+        # ordering (category, dt) is already satisfied and it does NOT
+        # inject its own sort on top (which would discard ours)
+        .sortWithinPartitions("category", "dt", "session", "thread", "trx_id")
         .write.mode("overwrite")
         .partitionBy("category", "dt")
         .parquet(os.path.join(out_dir, "records"))

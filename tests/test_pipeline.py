@@ -188,6 +188,44 @@ def test_degenerate_conv_drops_embedded_records(spark):
     assert len(errs) == 1 and errs[0]["raw"] == oracle.NO_VALID_LINE
 
 
+def test_sink_sort_order_gives_rowgroup_stats(spark, tmp_path):
+    """K3 analog (duckdb_impl.rs:124-136 deferred indexes): records sink
+    files are sorted by session within each file, so parquet column
+    min/max statistics support data skipping on the reference's indexed
+    columns."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sqllog_analysis_spark.sinks.writers import write_category_sinks
+
+    inp = str(tmp_path / "t.parquet")
+    out = str(tmp_path / "sorted_out")
+    write_transcripts(inp, 1200, seed=9)
+    g = build(spark, spark.read.parquet(inp))
+    write_category_sinks(g["routed"], out)
+
+    files = glob.glob(os.path.join(out, "records", "category=*", "dt=*", "*.parquet"))
+    assert files
+    checked = 0
+    for fp in files:
+        pf = pq.ParquetFile(fp)
+        sessions = pf.read(columns=["session"]).column("session").to_pylist()
+        non_null = [s for s in sessions if s is not None]
+        if len(non_null) < 2:
+            continue
+        assert non_null == sorted(non_null), fp
+        # stats present on the session column for skipping
+        md = pf.metadata.row_group(0)
+        col = next(
+            md.column(i) for i in range(md.num_columns)
+            if md.column(i).path_in_schema == "session"
+        )
+        assert col.statistics is not None and col.statistics.has_min_max
+        checked += 1
+    assert checked > 0
+
+
 def test_run_pipeline_and_resume(spark, tmp_path):
     inp = str(tmp_path / "transcripts.parquet")
     out = str(tmp_path / "out")

@@ -153,10 +153,10 @@ def test_multimodal_feature_plumbing(spark):
     out = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
     assert out[1]["n_bytes"] == 400 and len(out[1]["feature"]) == 8
     assert abs(sum(out[1]["feature"]) - 1.0) < 1e-5  # normalized histogram
-    assert out[3]["feature"] is None and out[3]["sha1"] is None
+    assert out[3]["feature"] is None and out[3]["sha256"] is None
     # deterministic: same payload → same sha1/features across runs
     out2 = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
-    assert out2[1]["sha1"] == out[1]["sha1"]
+    assert out2[1]["sha256"] == out[1]["sha256"]
 
 
 def test_real_decode_is_explicit_stub():
