@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--export", default=None, help="also export routed records as csv|json to <output>/export")
     ap.add_argument("--in-memory", action="store_true", help="ephemeral warehouse: outputs are NOT persisted")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: local[*])")
+    ap.add_argument("--log-dir", default=None,
+                    help="enable app logging; dir → dated file inside, path with "
+                         "extension → that file (analysis_log.rs:96-124)")
     args = ap.parse_args(argv)
 
     try:
@@ -60,10 +63,29 @@ def main(argv: list[str] | None = None) -> int:
         if args.export is not None:
             cfg.export_enabled = True
             cfg.export_format = args.export.strip().lower()
+        if args.log_dir is not None:
+            cfg.log_enabled = True
+            cfg.log_file = args.log_dir
         validate(cfg)
     except ConfigError as e:
         print(f"配置错误: {e}", file=sys.stderr)
         return 2  # config validation exits 2 (config.rs:211, 298-308)
+
+    if cfg.log_enabled:
+        from sqllog_analysis_spark.logging_setup import init_logging
+
+        try:
+            init_logging(
+                enabled=True,
+                log_file=cfg.log_file,
+                level=cfg.log_level,
+                enable_stdout=cfg.log_stdout,
+            )
+        except OSError as e:
+            # analysis_log.rs init() → io::Result: dir-create failure is an
+            # error surfaced to the caller (log_init_dir_create_fail.rs)
+            print(f"日志初始化失败: {e}", file=sys.stderr)
+            return 1
 
     import os
 

@@ -61,6 +61,11 @@ class AppConfig:
     export_format: str = "csv"
     export_file_size_bytes: int | None = None
     cores: int | None = None
+    log_enabled: bool = False  # deviation: app logging is opt-in (Spark has
+    #   its own JVM logging); the reference always initializes its logger
+    log_file: str | None = None  # None → <cwd>/logs/sqllog-analysis-<date>.log
+    log_level: str = "INFO"
+    log_stdout: bool = False
     config_path: str | None = None  # where it came from (None = defaults)
 
 
@@ -126,6 +131,11 @@ def load_config(
     cfg.export_format = str(exp.get("format", cfg.export_format)).lower()
     cfg.export_file_size_bytes = exp.get("file_size_bytes")
     cfg.cores = data.get("spark", {}).get("cores", cfg.cores)
+    log = data.get("log", {})
+    cfg.log_enabled = log.get("enabled", cfg.log_enabled)
+    cfg.log_file = log.get("file", cfg.log_file)
+    cfg.log_level = str(log.get("level", cfg.log_level)).upper()
+    cfg.log_stdout = log.get("stdout", cfg.log_stdout)
 
     validate(cfg)
     return cfg

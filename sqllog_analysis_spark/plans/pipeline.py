@@ -33,6 +33,7 @@ adds no driver synchronization beyond the job boundary.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -180,6 +181,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     transcripts = spark.read.parquet(cfg.input_path)
     parse_committed = cfg.resume and manifest.is_committed("parsed", fp)
+    t_parse = time.perf_counter()
     g = build_staged(
         spark,
         transcripts,
@@ -196,11 +198,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         lineage = [
             r.asDict() for r in partition_lineage(g["parsed"], "parsed").collect()
         ]
+        n = sum(p["row_count"] for p in lineage)
+        sec = max(time.perf_counter() - t_parse, 1e-9)
         manifest.commit(
             "parsed",
             fp,
-            row_count=sum(p["row_count"] for p in lineage),
+            row_count=n,
             partitions=lineage,
+            # per-stage insert stats — the InsertStats/records_per_second
+            # analog (reference src/database/types.rs:112-153)
+            extra={"wall_sec": round(sec, 3), "rows_per_sec": round(n / sec, 1)},
         )
         ran.append("parsed")
 
@@ -221,16 +228,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         if cfg.resume and manifest.is_committed(stage, fp):
             skipped.append(stage)
             continue
+        t0 = time.perf_counter()
         write()
+        sec = max(time.perf_counter() - t0, 1e-9)
         lineage = [
             r.asDict()
             for r in partition_lineage(stage_df[stage], stage).collect()
         ]
+        n = sum(p["row_count"] for p in lineage)
         manifest.commit(
             stage,
             fp,
-            row_count=sum(p["row_count"] for p in lineage),
+            row_count=n,
             partitions=lineage,
+            extra={"wall_sec": round(sec, 3), "rows_per_sec": round(n / sec, 1)},
         )
         ran.append(stage)
 

@@ -253,10 +253,12 @@ def test_run_pipeline_and_resume(spark, tmp_path):
     assert s3["stages_ran"] == ["parse_errors"]
     assert spark.read.parquet(os.path.join(out, "records")).count() == n1
 
-    # manifest carries per-partition lineage
+    # manifest carries per-partition lineage + per-stage insert stats
+    # (InsertStats/records_per_second analog, types.rs:112-153)
     m = json.load(open(os.path.join(out, "_manifest", "records.json")))
     assert m["committed"] and m["row_count"] == n1
     assert sum(p["row_count"] for p in m["partitions"]) == n1
+    assert m["wall_sec"] > 0 and m["rows_per_sec"] > 0
 
     # input change invalidates the fingerprint → full re-run
     write_transcripts(inp, 900, seed=6)
