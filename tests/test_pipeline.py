@@ -264,3 +264,13 @@ def test_run_pipeline_and_resume(spark, tmp_path):
     write_transcripts(inp, 900, seed=6)
     s4 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
     assert set(s4["stages_ran"]) == {"parsed", "records", "parse_errors", "aggregates"}
+
+
+def test_iceberg_probe_falls_back_to_parquet(spark):
+    """SURVEY §7.1: Iceberg is probed at runtime, not assumed; this sandbox
+    has no Iceberg jar so the parquet path must be selected (and the whole
+    suite proves that path works)."""
+    from sqllog_analysis_spark.sinks.iceberg_probe import iceberg_available, sink_format
+
+    assert iceberg_available(spark) is False
+    assert sink_format(spark) == "parquet"
