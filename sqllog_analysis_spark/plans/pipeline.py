@@ -41,10 +41,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from sqllog_analysis_spark.functions.parse import parse_transcripts
 from sqllog_analysis_spark.operators.aggregates import (
     conv_buckets as agg_conv_buckets,
-    partition_lineage,
     sink_counts as agg_sink_counts,
     summary as make_summary,
 )
+from sqllog_analysis_spark.sinks.lineage import jsonl_lineage, parquet_lineage
 from sqllog_analysis_spark.operators.enrich import enrich_with_dim
 from sqllog_analysis_spark.operators.routing import (
     degenerate_convs,
@@ -192,16 +192,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         reuse_stage=parse_committed,
     )
     ran, skipped = [], []
-    if parse_committed:
-        skipped.append("parsed")
-    else:
-        lineage = [
-            r.asDict() for r in partition_lineage(g["parsed"], "parsed").collect()
-        ]
-        n = sum(p["row_count"] for p in lineage)
-        sec = max(time.perf_counter() - t_parse, 1e-9)
+
+    def commit(stage: str, lineage: list[dict], n: int, t0: float) -> None:
+        sec = max(time.perf_counter() - t0, 1e-9)
         manifest.commit(
-            "parsed",
+            stage,
             fp,
             row_count=n,
             partitions=lineage,
@@ -209,45 +204,54 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             # analog (reference src/database/types.rs:112-153)
             extra={"wall_sec": round(sec, 3), "rows_per_sec": round(n / sec, 1)},
         )
-        ran.append("parsed")
-
-    stages = {
-        "records": lambda: write_category_sinks(g["routed"], cfg.output_dir),
-        "parse_errors": lambda: write_error_sink(g["errors"], cfg.output_dir),
-        "aggregates": lambda: write_aggregates(
-            g["sink_counts"], g["conv_buckets"], cfg.output_dir
-        ),
-    }
-    stage_df = {
-        "records": g["routed"],
-        "parse_errors": g["errors"],
-        "aggregates": g["sink_counts"],
-    }
-
-    for stage, write in stages.items():
-        if cfg.resume and manifest.is_committed(stage, fp):
-            skipped.append(stage)
-            continue
-        t0 = time.perf_counter()
-        write()
-        sec = max(time.perf_counter() - t0, 1e-9)
-        lineage = [
-            r.asDict()
-            for r in partition_lineage(stage_df[stage], stage).collect()
-        ]
-        n = sum(p["row_count"] for p in lineage)
-        manifest.commit(
-            stage,
-            fp,
-            row_count=n,
-            partitions=lineage,
-            extra={"wall_sec": round(sec, 3), "rows_per_sec": round(n / sec, 1)},
-        )
         ran.append(stage)
 
-    counts = {r["category"]: r["n"] for r in g["sink_counts"].collect()}
+    if parse_committed:
+        skipped.append("parsed")
+    else:
+        # lineage from the written files' parquet footers — metadata-only,
+        # no recompute (sinks/lineage.py)
+        lineage = parquet_lineage(stage_dir)
+        commit("parsed", lineage, sum(p["row_count"] for p in lineage), t_parse)
+
+    from pyspark.sql import Observation
+
+    err_obs = Observation()
+    errors_obs = g["errors"].observe(err_obs, F.count(F.lit(1)).alias("n"))
+
+    if cfg.resume and manifest.is_committed("records", fp):
+        skipped.append("records")
+    else:
+        t0 = time.perf_counter()
+        write_category_sinks(g["routed"], cfg.output_dir)
+        lineage = parquet_lineage(os.path.join(cfg.output_dir, "records"))
+        commit("records", lineage, sum(p["row_count"] for p in lineage), t0)
+
+    if cfg.resume and manifest.is_committed("parse_errors", fp):
+        skipped.append("parse_errors")
+    else:
+        t0 = time.perf_counter()
+        write_error_sink(errors_obs, cfg.output_dir)
+        # JSONL has no footers: row count comes from the write job's
+        # observe() counter (zero extra jobs), lineage records file sizes
+        lineage = jsonl_lineage(os.path.join(cfg.output_dir, "parse_errors"))
+        commit("parse_errors", lineage, int(err_obs.get["n"]), t0)
+
+    if cfg.resume and manifest.is_committed("aggregates", fp):
+        skipped.append("aggregates")
+    else:
+        t0 = time.perf_counter()
+        write_aggregates(g["sink_counts"], g["conv_buckets"], cfg.output_dir)
+        lineage = parquet_lineage(os.path.join(cfg.output_dir, "sink_counts"))
+        commit("aggregates", lineage, sum(p["row_count"] for p in lineage), t0)
+
+    # summary inputs come from written files / footers, not extra jobs
+    import pyarrow.parquet as pq
+
+    counts_tbl = pq.read_table(os.path.join(cfg.output_dir, "sink_counts")).to_pylist()
+    counts = {r["category"]: r["n"] for r in counts_tbl}
     n_errors = (manifest.read("parse_errors") or {}).get("row_count", 0)
-    n_turns = transcripts.count()
+    n_turns = sum(p["row_count"] for p in parquet_lineage(cfg.input_path))
     s = make_summary(n_turns, counts, n_errors)
     s.update({"stages_ran": ran, "stages_skipped": skipped, "fingerprint": fp})
     return s
