@@ -219,17 +219,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     err_obs = Observation()
     errors_obs = g["errors"].observe(err_obs, F.count(F.lit(1)).alias("n"))
 
-    if cfg.resume and manifest.is_committed("records", fp):
-        skipped.append("records")
-    else:
+    def run_records() -> None:
         t0 = time.perf_counter()
         write_category_sinks(g["routed"], cfg.output_dir)
         lineage = parquet_lineage(os.path.join(cfg.output_dir, "records"))
         commit("records", lineage, sum(p["row_count"] for p in lineage), t0)
 
-    if cfg.resume and manifest.is_committed("parse_errors", fp):
-        skipped.append("parse_errors")
-    else:
+    def run_errors() -> None:
         t0 = time.perf_counter()
         write_error_sink(errors_obs, cfg.output_dir)
         # JSONL has no footers: row count comes from the write job's
@@ -237,13 +233,33 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         lineage = jsonl_lineage(os.path.join(cfg.output_dir, "parse_errors"))
         commit("parse_errors", lineage, int(err_obs.get["n"]), t0)
 
-    if cfg.resume and manifest.is_committed("aggregates", fp):
-        skipped.append("aggregates")
-    else:
+    def run_aggregates() -> None:
         t0 = time.perf_counter()
         write_aggregates(g["sink_counts"], g["conv_buckets"], cfg.output_dir)
         lineage = parquet_lineage(os.path.join(cfg.output_dir, "sink_counts"))
         commit("aggregates", lineage, sum(p["row_count"] for p in lineage), t0)
+
+    # the three downstream stages are independent DAG branches over the
+    # staged scan — submit them CONCURRENTLY (separate driver threads →
+    # separate Spark jobs that share executor slots).  This overlaps their
+    # per-job driver coordination and keeps the cluster busy end-to-end;
+    # it is the standard multi-sink pattern on a real cluster.
+    pending = []
+    for stage, fn in (
+        ("records", run_records),
+        ("parse_errors", run_errors),
+        ("aggregates", run_aggregates),
+    ):
+        if cfg.resume and manifest.is_committed(stage, fp):
+            skipped.append(stage)
+        else:
+            pending.append(fn)
+    if pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(pending)) as ex:
+            for f in [ex.submit(fn) for fn in pending]:
+                f.result()  # propagate failures
 
     # summary inputs come from written files / footers, not extra jobs
     import pyarrow.parquet as pq

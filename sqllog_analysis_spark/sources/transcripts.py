@@ -13,6 +13,8 @@ must come from the (conv_id, turn_idx) Window, not file order.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -193,20 +195,39 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
 
 
 def write_transcripts(
-    path: str, n_turns: int, seed: int = 42, row_group_size: int = 50_000
+    path: str,
+    n_turns: int,
+    seed: int = 42,
+    row_group_size: int = 50_000,
+    shards: int = 1,
 ) -> str:
     """Write the corpus to parquet (pyarrow, no Spark needed) → path.
 
     Small row groups so Spark can split the file into parallel scan tasks
     (a single-row-group file is one task no matter how many cores).
+
+    ``shards > 1`` writes a DIRECTORY of that many part files
+    (deterministic round-robin) — the realistic shape of any
+    distributed-written dataset, and what lets the initial scan parallelize
+    without tiny maxPartitionBytes tuning.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     df = generate_transcripts(n_turns, seed)
-    pq.write_table(
-        pa.Table.from_pandas(df, preserve_index=False), path, row_group_size=row_group_size
-    )
+    if shards <= 1:
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), path, row_group_size=row_group_size
+        )
+        return path
+    os.makedirs(path, exist_ok=True)
+    for i in range(shards):
+        part = df.iloc[i::shards]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(path, f"part-{i:04d}.parquet"),
+            row_group_size=row_group_size,
+        )
     return path
 
 

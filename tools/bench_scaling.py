@@ -56,9 +56,10 @@ def one_run(inp, tag):
     run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out, resume=False))
     return time.perf_counter() - t0
 
-# warm-up: JVM/codegen/Arrow worker spin-up, excluded from the measurement
+# warm-up: JVM/codegen/Arrow worker spin-up, excluded from the measurement.
+# Wide enough that every core's Python worker spins up before timing.
 warm = os.path.join(work, "warm.parquet")
-spark.read.parquet(path).limit(2000).write.mode("overwrite").parquet(warm)
+spark.read.parquet(path).limit(20000).write.mode("overwrite").parquet(warm)
 one_run(warm, "warm")
 # several samples in one warm JVM; min = least noise-contaminated (the
 # sandbox host injects one-sided multi-second stalls)
@@ -108,13 +109,15 @@ def cpu_ceiling_sweep(levels=(1, 2, 4, 8, 16, 32), n=6_000_000, reps=3) -> dict[
 
 
 def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     from sqllog_analysis_spark.sources.transcripts import write_transcripts
 
     os.makedirs(os.path.join(REPO, ".data"), exist_ok=True)
-    path = os.path.join(REPO, ".data", f"transcripts_scale_{n_turns}.parquet")
+    # sharded like any distributed-written dataset, so the initial scan
+    # parallelizes across cores without tiny-split tuning
+    path = os.path.join(REPO, ".data", f"transcripts_scale_{n_turns}_sh32.parquet")
     if not os.path.exists(path):
-        write_transcripts(path, n_turns, seed=42)
+        write_transcripts(path, n_turns, seed=42, shards=32)
 
     sweep = cpu_ceiling_sweep()
     print(json.dumps({"cpu_sweep_speedup": {str(k): round(v, 2) for k, v in sweep.items()}}))
