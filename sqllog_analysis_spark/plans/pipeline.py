@@ -70,6 +70,10 @@ class PipelineConfig:
     bucket: str = "hour"
     stable_order: bool = True
     resume: bool = True
+    # partition count for the conv_id exchange; None → defaultParallelism.
+    # Pin it when comparing the SAME job across cluster sizes (the scaling
+    # bench): partitioning belongs to the data, not the executor count.
+    target_partitions: int | None = None
     conf: dict = field(default_factory=dict)
 
 
@@ -189,6 +193,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         slow_ms=cfg.slow_ms,
         bucket=cfg.bucket,
         stable_order=cfg.stable_order,
+        target_partitions=cfg.target_partitions,
         reuse_stage=parse_committed,
     )
     ran, skipped = [], []
@@ -235,21 +240,31 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     def run_aggregates() -> None:
         t0 = time.perf_counter()
-        write_aggregates(g["sink_counts"], g["conv_buckets"], cfg.output_dir)
+        # aggregate over the WRITTEN records sink, not a recompute: the
+        # enrich/route chain runs exactly once (inside the records write);
+        # these groupBys are column-pruned scans of the columnar sink —
+        # at 100 TB that is the difference between re-routing the corpus
+        # twice and reading 3 columns of it
+        rec_dir = os.path.join(cfg.output_dir, "records")
+        routed_src = (
+            spark.read.parquet(rec_dir)
+            if parquet_lineage(rec_dir)
+            else g["routed"]  # zero-record edge: empty dir has no schema
+        )
+        write_aggregates(
+            agg_sink_counts(routed_src),
+            agg_conv_buckets(routed_src, bucket=cfg.bucket),
+            cfg.output_dir,
+        )
         lineage = parquet_lineage(os.path.join(cfg.output_dir, "sink_counts"))
         commit("aggregates", lineage, sum(p["row_count"] for p in lineage), t0)
 
-    # the three downstream stages are independent DAG branches over the
-    # staged scan — submit them CONCURRENTLY (separate driver threads →
-    # separate Spark jobs that share executor slots).  This overlaps their
-    # per-job driver coordination and keeps the cluster busy end-to-end;
-    # it is the standard multi-sink pattern on a real cluster.
+    # records and parse_errors are independent DAG branches over the staged
+    # scan — submit them CONCURRENTLY (separate driver threads → separate
+    # Spark jobs sharing executor slots: the standard multi-sink pattern).
+    # aggregates depends on the records sink, so it follows.
     pending = []
-    for stage, fn in (
-        ("records", run_records),
-        ("parse_errors", run_errors),
-        ("aggregates", run_aggregates),
-    ):
+    for stage, fn in (("records", run_records), ("parse_errors", run_errors)):
         if cfg.resume and manifest.is_committed(stage, fp):
             skipped.append(stage)
         else:
@@ -260,6 +275,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         with ThreadPoolExecutor(max_workers=len(pending)) as ex:
             for f in [ex.submit(fn) for fn in pending]:
                 f.result()  # propagate failures
+    if cfg.resume and manifest.is_committed("aggregates", fp):
+        skipped.append("aggregates")
+    else:
+        run_aggregates()
 
     # summary inputs come from written files / footers, not extra jobs
     import pyarrow.parquet as pq

@@ -39,7 +39,12 @@ cores = int(sys.argv[1]); path = sys.argv[2]
 # both legs get an ample, identical heap so spill doesn't confound the
 # parallelism comparison (the box has 128 GiB)
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=max(8, cores),
+# IDENTICAL JOB at every parallelism level: partition counts are pinned to
+# the data (32 exchange partitions, 32 shuffle partitions, same input
+# splits) — only the number of executor threads varies between legs.  A
+# job whose partitioning adapts to the core count is a DIFFERENT job per
+# leg (fewer, bigger Arrow batches at low core counts flatter the low leg).
+spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=32,
                   extra_conf={{"spark.sql.adaptive.enabled": "false",
                                # split the input across tasks; on a real
                                # cluster the default 128m is right, here the
@@ -53,7 +58,8 @@ def one_run(inp, tag):
     out = os.path.join(work, tag)
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out, resume=False))
+    run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out,
+                                       resume=False, target_partitions=32))
     return time.perf_counter() - t0
 
 # warm-up: JVM/codegen/Arrow worker spin-up, excluded from the measurement.
