@@ -60,20 +60,35 @@ def _transcripts(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
 
 _GRAPH_CACHE: dict[str, dict] = {}
 
+# The pipeline_* contract queries run over a PINNED-SIZE corpus (20000
+# turns, seed 42) regardless of sf_dir: they check pipeline SEMANTICS
+# against constant hard-oracle values computed by the pure-Python oracle
+# (contract_expected.py), which must not drift with the driver's sf choice.
+# Scale behavior is bench.py / tools/bench_scaling.py's job, which use the
+# sf-scaled corpus via _transcripts_path.
+_CONTRACT_N_TURNS = 20000
+
 
 def _pipeline_graph(spark: SparkSession, sf_dir: str) -> dict:
-    """Build the transcript-pipeline graph ONCE per sf_dir and share it
-    across the three pipeline_* contract queries (round-1 rebuilt — and
-    re-parsed — the whole graph per query).  The contract corpus is small,
-    so a lazy persist of the parsed stage lets all three queries reuse one
-    parse; production-scale runs use run_pipeline's staging write instead."""
-    if sf_dir not in _GRAPH_CACHE:
+    """Build the transcript-pipeline graph ONCE and share it across the
+    three pipeline_* contract queries (round-1 rebuilt — and re-parsed —
+    the whole graph per query).  The contract corpus is small, so a lazy
+    persist of the parsed stage lets all three queries reuse one parse;
+    production-scale runs use run_pipeline's staging write instead."""
+    from sqllog_analysis_spark.sources.transcripts import write_transcripts
+
+    key = f"contract_{_CONTRACT_N_TURNS}"
+    if key not in _GRAPH_CACHE:
         from sqllog_analysis_spark.plans.pipeline import build
 
-        g = build(spark, _transcripts(spark, sf_dir))
+        os.makedirs(_DATA_CACHE, exist_ok=True)
+        path = os.path.join(_DATA_CACHE, f"transcripts_{_CONTRACT_N_TURNS}_s42.parquet")
+        if not os.path.exists(path):
+            write_transcripts(path, _CONTRACT_N_TURNS, seed=42)
+        g = build(spark, spark.read.parquet(path))
         g["parsed"].persist()  # lazy: fills on first materialization
-        _GRAPH_CACHE[sf_dir] = g
-    return _GRAPH_CACHE[sf_dir]
+        _GRAPH_CACHE[key] = g
+    return _GRAPH_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -650,8 +665,43 @@ def _media_features_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Hard oracles for the pipeline_* contract queries: constant VALUES relations
+# computed by the PURE-PYTHON reference oracle (oracle.py + a pure-Python
+# routing re-statement) over the deterministic seed-42 contract corpus —
+# regenerate with `python tools/gen_contract_expected.py`.  The contract
+# queries pin the corpus to _CONTRACT_N_TURNS regardless of sf, so these
+# constants stay valid at any driver sf choice.
+# ---------------------------------------------------------------------------
+
+def _pipeline_oracle_sql(n_turns: int = _CONTRACT_N_TURNS) -> dict[str, str]:
+    from sqllog_analysis_spark.contract_expected import EXPECTED
+
+    e = EXPECTED[n_turns]
+    sc_vals = ", ".join(f"('{c}', {n})" for c, n in e["sink_counts"])
+    cb_vals = ", ".join(
+        f"('{c}', {n}, {m if m is not None else 'NULL'})"
+        for c, n, m in e["conv_buckets_by_category"]
+    )
+    return {
+        "pipeline_sink_counts": f"""
+            SELECT category, CAST(n AS BIGINT) AS n
+            FROM (VALUES {sc_vals}) AS t(category, n)
+            ORDER BY category
+        """,
+        "pipeline_errors": f"SELECT CAST({e['n_errors']} AS BIGINT) AS n_errors",
+        "pipeline_conv_buckets": f"""
+            SELECT category, CAST(n AS BIGINT) AS n,
+                   CAST(max_exec_ms AS BIGINT) AS max_exec_ms
+            FROM (VALUES {cb_vals}) AS t(category, n, max_exec_ms)
+            ORDER BY category
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_pipeline_oracle_sql(),
         "media_features": _media_features_sql(),
         "minhash_lsh": _minhash_lsh_sql(16, 4, 3, 200),
         "simhash": _simhash_sql(60, "WHERE doc_id < 200"),

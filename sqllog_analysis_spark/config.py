@@ -142,12 +142,22 @@ def load_config(
 
 
 def validate(cfg: AppConfig) -> None:
-    if not isinstance(cfg.slow_ms, int) or cfg.slow_ms <= 0:
+    # bool is an int subclass in Python — `slow_ms = true` in TOML must not
+    # sneak through as 1
+    if (
+        isinstance(cfg.slow_ms, bool)
+        or not isinstance(cfg.slow_ms, int)
+        or cfg.slow_ms <= 0
+    ):
         raise ConfigError("invalid slow_ms: must be a positive integer")
     if cfg.bucket not in ("minute", "hour", "day"):
         raise ConfigError(f"invalid bucket: {cfg.bucket!r}")
-    if cfg.export_file_size_bytes == 0:
-        # config.rs:298-308 verbatim rule
+    if cfg.export_file_size_bytes is not None and (
+        isinstance(cfg.export_file_size_bytes, bool)
+        or not isinstance(cfg.export_file_size_bytes, int)
+        or cfg.export_file_size_bytes <= 0
+    ):
+        # config.rs:298-308 rule, extended: any non-positive size is invalid
         raise ConfigError(
             "export.file_size_bytes 不能为 0；请设置为正整数或删除该项以表示无上限"
         )

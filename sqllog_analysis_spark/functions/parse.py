@@ -111,9 +111,11 @@ def _fast_parse(pdf: pd.DataFrame, norm: pd.Series) -> pd.DataFrame:
         return col.mask(col == "NULL")
 
     desc = g[10]
-    # Rust lines().last(): drop one trailing \n, take after last \n, drop one \r
+    # Rust lines().last(): drop one trailing \n, take after last \n, drop one
+    # \r.  \Z, not $: python's $ also matches BEFORE a final newline, so
+    # `\n$` would strip two newlines off a "...\n\n" tail (hypothesis find)
     last = (
-        desc.str.replace(r"\n$", "", regex=True)
+        desc.str.replace(r"\n\Z", "", regex=True)
         .str.rsplit("\n", n=1)
         .str[-1]
         .str.replace(r"\r$", "", regex=True)
@@ -200,11 +202,15 @@ def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.D
     if len(pdf) == 0:
         return pd.DataFrame(columns=out_cols)
     text = pdf["text"].fillna("")
-    # '\n' is a line terminator (io.rs read_until): drop one trailing newline
-    # so newline-terminated text has no phantom empty last line.  This must
-    # happen BEFORE normalization — a final whitespace-only line normalizes
-    # to "" but still counts as a line (it is not a terminator).
-    text = text.str.replace(r"\n$", "", regex=True)
+    # '\n' is a line terminator (io.rs read_until): drop EXACTLY ONE trailing
+    # newline so newline-terminated text has no phantom empty last line.
+    # \Z, not $: python's $ also matches before a final newline, so `\n$`
+    # strips two newlines off a "...\n\n" tail — which would silently drop
+    # a real empty line and shift the reference's flush line number
+    # (hypothesis-found parity bug).  This must happen BEFORE normalization
+    # — a final whitespace-only line normalizes to "" but still counts as a
+    # line (it is not a terminator).
+    text = text.str.replace(r"\n\Z", "", regex=True)
     norm = _normalize(text)
 
     # classify: fast path iff no U+FFFD, exactly one shape-match at a line

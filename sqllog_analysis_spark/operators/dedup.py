@@ -177,21 +177,38 @@ def simhash(
     else:
         raise ValueError(f"unsupported simhash hash_fn: {hash_fn}")
 
-    sig = F.lit(0).cast("long")
-
-    def make_merge(i: int):
-        # bit test via mask; bit 63 is the sign bit of the signed long hash.
-        # binary lambda only — a 3rd param would be read as the index variant
-        def merge(acc, h):
-            is_set = (h.bitwiseAND(F.lit(1 << i)) != 0) if i < 63 else (h < 0)
-            return acc + F.when(is_set, 1).otherwise(-1)
-
-        return merge
-
-    for i in range(bits):
-        bit_sum = F.aggregate(F.col("_th"), F.lit(0), make_merge(i))
-        bit = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        sig = sig + F.when(bit_sum > 0, bit).otherwise(F.lit(0).cast("long"))
+    # ONE aggregate pass builds all per-bit vote counts as an array (round 2
+    # used `bits` separate nested aggregates — 60 full scans of the token
+    # array in one plan, dominated by codegen/compile time).  getbit(h, i)
+    # reads bit i of the two's-complement long, so bit 63 (the sign bit)
+    # needs no special case in the vote; only its place VALUE does (-2^63).
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: F.when(F.getbit(h, i) == 1, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
+    )
+    # fold votes → signature: sum of place values where the vote is positive.
+    # pow(2.0, i) is exact for powers of two ≤ 2^62 (double has a 53-bit
+    # mantissa but powers of two are a single mantissa bit at any exponent).
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            idx,
+            lambda v, i: F.when(
+                v > 0,
+                F.when(i == 63, F.lit(-(1 << 63)).cast("long")).otherwise(
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.select(F.col(id_col), th.alias("_th")).select(
         F.col(id_col), sig.alias("simhash")
     )

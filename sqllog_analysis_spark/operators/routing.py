@@ -115,3 +115,52 @@ def route_records_clean(routed: DataFrame, degen: DataFrame) -> DataFrame:
     degenerate file's chunk without calling the record hook, io.rs:147-167).
     """
     return routed.join(F.broadcast(degen), "conv_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Sink-write isolation (SURVEY §2.3 R2): the reference logs and SKIPS a
+# failed insert batch and keeps loading (duckdb_impl.rs:475-488).  Spark's
+# task-retry covers transient failures; the analog of a *data-shaped* insert
+# failure is a row violating the sink's write contract.  Instead of letting
+# one poison row fail the whole stage, rows failing the contract are split
+# off DECLARATIVELY before the write and routed to the error sink — the
+# batch-skip semantics at row granularity, with zero extra passes (both
+# branches share the routed scan).
+# ---------------------------------------------------------------------------
+
+SINK_CONTRACT_ERROR = "写入约束错误"  # sink-contract violation (insert-failure analog)
+
+
+def sink_contract(routed: DataFrame) -> "F.Column":
+    """The records sink's write contract as one boolean column: a known
+    category, a partitionable timestamp, and a conversation key (the sink
+    layout and sort order depend on exactly these)."""
+    from sqllog_analysis_spark.schema import CATEGORIES
+
+    ok = (
+        F.col("category").isin(list(CATEGORIES))
+        & F.col("ts").isNotNull()
+        & F.col("conv_id").isNotNull()
+    )
+    return F.coalesce(ok, F.lit(False))
+
+
+def split_sink_contract(routed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(writable, violations) — violations carry the error-sink shape
+    {path, line, error, raw} so they append to parse_errors directly."""
+    ok = sink_contract(routed)
+    good = routed.filter(ok)
+    bad = routed.filter(~ok).select(
+        F.coalesce(F.col("conv_id"), F.lit("<unknown>")).alias("path"),
+        F.coalesce(F.col("turn_idx").cast("long"), F.lit(0).cast("long")).alias(
+            "line"
+        ),
+        F.concat(
+            F.lit(f"{SINK_CONTRACT_ERROR}: category="),
+            F.coalesce(F.col("category"), F.lit("NULL")),
+            F.lit(" ts="),
+            F.coalesce(F.col("ts").cast("string"), F.lit("NULL")),
+        ).alias("error"),
+        F.coalesce(F.col("description"), F.lit("")).alias("raw"),
+    )
+    return good, bad

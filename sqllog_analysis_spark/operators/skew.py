@@ -1,36 +1,52 @@
 """Explicit skew handling (SURVEY.md §4 'missing from the reference').
 
 The reference's unit of parallelism is a whole file — one huge file is one
-slow task (duckdb_impl.rs:913-924 sequential loop).  Here a
-mega-conversation is the analog.  AQE skew-join splitting is enabled in
-session.py; this helper adds deterministic salting for wide ops keyed on
-conv_id when AQE alone isn't enough.
+slow task (duckdb_impl.rs:913-924 sequential loop).  Here the analogs are
+a mega-conversation (bounded by the corpus cap) and, more importantly, a
+HOT SINK PARTITION: the records sink is laid out by (category, dt), and
+at 10^12-turn scale one (chat, <busy day>) combination is terabytes.  A
+plain ``repartition("category", "dt")`` before the partitioned write —
+the standard small-files fix — would funnel each hot combo through ONE
+task.  :func:`salted_repartition` spreads each combo over a bounded
+number of tasks instead, trading a controlled file count per partition
+directory for a bounded task size.
+
+AQE skew-join splitting (enabled in session.py) covers join-side skew;
+this helper covers exchange-for-write skew, which AQE does not re-split
+(the write ordering requirement pins the partitioning).
+
+Note there is deliberately no "two-phase aggregate" helper here: Spark's
+hash aggregate is already partial (map-side combine), so low-cardinality
+groupBys like ``sink_counts`` move ≤ #groups rows per task regardless of
+data skew.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Column, functions as F
 
 
 def salted_repartition(
-    df: DataFrame, key: str, n_partitions: int, salt_buckets: int = 8, salt_on: str = "turn_idx"
+    df: DataFrame,
+    keys: list[str | Column],
+    salt_buckets: int = 8,
+    salt_on: str = "conv_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
-    """Repartition on (key, salt) so one hot key spreads over
+    """Repartition on (*keys, salt) so one hot key-combination spreads over
     ``salt_buckets`` partitions.  The salt is derived from a stable column
-    (default turn_idx), so the layout is deterministic across retries —
-    required for idempotent resume.
+    (default conv_id), so the layout is deterministic across retries —
+    required for idempotent resume (a rand() salt would re-deal rows on
+    task retry and break speculative-execution consistency).
 
-    Safe for per-row (narrow) stages like the parse UDF; per-key aggregates
-    must re-aggregate across salt buckets afterwards (two-phase agg), which
-    groupBy already does naturally when the salt is not in its keys.
+    Per-key aggregates downstream must re-aggregate across salt buckets
+    (groupBy does this naturally when the salt is not among its keys);
+    partitioned WRITES get at most ``salt_buckets`` files per partition
+    directory per shuffle-collision group — bounded, unlike the
+    tasks × combos explosion of writing from an unrelated partitioning.
     """
-    salt = F.pmod(F.hash(F.col(salt_on)), F.lit(salt_buckets))
-    return df.repartition(n_partitions, F.col(key), salt)
-
-
-def two_phase_count(df: DataFrame, key: str, salt_buckets: int = 8) -> DataFrame:
-    """Skew-proof count per key: partial count on (key, salt), then final
-    sum on key.  The second shuffle moves ≤ salt_buckets rows per key."""
-    salted = df.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)))
-    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
-    return partial.groupBy(key).agg(F.sum("_c").alias("n"))
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
+    if n_partitions is not None:
+        return df.repartition(n_partitions, *cols, salt)
+    return df.repartition(*cols, salt)

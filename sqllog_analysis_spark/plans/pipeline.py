@@ -44,13 +44,20 @@ from sqllog_analysis_spark.operators.aggregates import (
     sink_counts as agg_sink_counts,
     summary as make_summary,
 )
-from sqllog_analysis_spark.sinks.lineage import jsonl_lineage, parquet_lineage
+from sqllog_analysis_spark.sinks.lineage import (
+    jsonl_lineage,
+    parquet_file_count,
+    parquet_lineage,
+    path_exists,
+    read_parquet_table,
+)
 from sqllog_analysis_spark.operators.enrich import enrich_with_dim
 from sqllog_analysis_spark.operators.routing import (
     degenerate_convs,
     route_errors,
     route_records,
     route_records_clean,
+    split_sink_contract,
 )
 from sqllog_analysis_spark.schema import DIM_SCHEMA
 from sqllog_analysis_spark.sinks.manifest import Manifest, fingerprint_input
@@ -70,10 +77,15 @@ class PipelineConfig:
     bucket: str = "hour"
     stable_order: bool = True
     resume: bool = True
-    # partition count for the conv_id exchange; None → defaultParallelism.
-    # Pin it when comparing the SAME job across cluster sizes (the scaling
-    # bench): partitioning belongs to the data, not the executor count.
+    # partition count for the conv_id exchange; None → 4 × defaultParallelism
+    # (multiple task WAVES per core, so stragglers amortize — a single-wave
+    # layout makes the slowest partition the wall clock).  Pin it explicitly
+    # when comparing the SAME job across cluster sizes (the scaling bench):
+    # partitioning belongs to the data, not the executor count.
     target_partitions: int | None = None
+    # bound on sink files per (category, dt) directory — also the salt width
+    # that spreads a hot sink partition over that many write tasks
+    files_per_partition: int = 4
     conf: dict = field(default_factory=dict)
 
 
@@ -89,7 +101,7 @@ def parse_stage(
 ) -> DataFrame:
     """The parse stage: one conv_id exchange + ordering window + the
     Arrow-vectorized parser.  Narrow on top of the single shuffle."""
-    n = target_partitions or spark.sparkContext.defaultParallelism
+    n = target_partitions or 4 * spark.sparkContext.defaultParallelism
     t = transcripts.repartition(n, "conv_id")
     if stable_order:
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
@@ -158,7 +170,7 @@ def build_staged(
     """Run the parse ONCE, write it to ``stage_dir``, and build the
     downstream graph over the staged scan.  The one action here is the
     staging write; everything else stays lazy."""
-    if not (reuse_stage and os.path.exists(os.path.join(stage_dir, "_SUCCESS"))):
+    if not (reuse_stage and path_exists(os.path.join(stage_dir, "_SUCCESS"))):
         parse_stage(spark, transcripts, stable_order, target_partitions).write.mode(
             "overwrite"
         ).parquet(stage_dir)
@@ -172,18 +184,42 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     """Execute with manifest-gated, idempotent, resumable stage writes.
 
     Stage list (each independently resumable):
-      parsed       → <out>/_staged_parsed   (the single parse materialization)
+      parsed       → <out>/staged_parsed    (the single parse materialization)
       records      → <out>/records          (partitioned category fan-out)
       parse_errors → <out>/parse_errors     (JSONL)
       aggregates   → <out>/sink_counts, <out>/conv_buckets
+
+    Driver-side concurrency (the Amdahl budget at scale): after the staged
+    parse, TWO driver threads run the independent sink chains —
+    (records write → footer lineage → aggregates) and (errors write →
+    lineage) — so no executor-idle gap opens between jobs; all lineage is
+    threaded metadata reads (sinks/lineage.py); the input row count rides
+    an ``observe()`` on the staged-write job instead of a second walk of
+    the input.
     """
     manifest = Manifest(os.path.join(cfg.output_dir, "_manifest"))
     fp = fingerprint_input(
-        cfg.input_path, {"slow_ms": cfg.slow_ms, "bucket": cfg.bucket, **cfg.conf}
+        cfg.input_path,
+        {
+            "slow_ms": cfg.slow_ms,
+            "bucket": cfg.bucket,
+            "stable_order": cfg.stable_order,
+            "target_partitions": cfg.target_partitions,
+            **cfg.conf,
+        },
     )
-    stage_dir = os.path.join(cfg.output_dir, "_staged_parsed")
+    # no leading underscore: Spark's file index treats _-prefixed paths as
+    # hidden metadata (reading them relies on explicit-root-path behavior)
+    stage_dir = os.path.join(cfg.output_dir, "staged_parsed")
 
-    transcripts = spark.read.parquet(cfg.input_path)
+    from pyspark.sql import Observation
+
+    in_obs = Observation()
+    # counts the pipeline's input turns DURING the staged-write job —
+    # zero extra jobs, no driver-side walk of the (possibly remote) input
+    transcripts = spark.read.parquet(cfg.input_path).observe(
+        in_obs, F.count(F.lit(1)).alias("n")
+    )
     parse_committed = cfg.resume and manifest.is_committed("parsed", fp)
     t_parse = time.perf_counter()
     g = build_staged(
@@ -198,7 +234,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     )
     ran, skipped = [], []
 
-    def commit(stage: str, lineage: list[dict], n: int, t0: float) -> None:
+    def commit(stage: str, lineage: list[dict], n: int, t0: float, **extra) -> None:
         sec = max(time.perf_counter() - t0, 1e-9)
         manifest.commit(
             stage,
@@ -207,26 +243,46 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             partitions=lineage,
             # per-stage insert stats — the InsertStats/records_per_second
             # analog (reference src/database/types.rs:112-153)
-            extra={"wall_sec": round(sec, 3), "rows_per_sec": round(n / sec, 1)},
+            extra={
+                "wall_sec": round(sec, 3),
+                "rows_per_sec": round(n / sec, 1),
+                **extra,
+            },
         )
         ran.append(stage)
 
     if parse_committed:
         skipped.append("parsed")
+        n_turns = (manifest.read("parsed") or {}).get("input_turns")
+        if n_turns is None:  # manifest from an older run: fall back to footers
+            n_turns = sum(p["row_count"] for p in parquet_lineage(cfg.input_path))
     else:
         # lineage from the written files' parquet footers — metadata-only,
         # no recompute (sinks/lineage.py)
+        n_turns = int(in_obs.get["n"])
         lineage = parquet_lineage(stage_dir)
-        commit("parsed", lineage, sum(p["row_count"] for p in lineage), t_parse)
+        commit(
+            "parsed",
+            lineage,
+            sum(p["row_count"] for p in lineage),
+            t_parse,
+            input_turns=n_turns,
+        )
 
-    from pyspark.sql import Observation
-
+    # sink-write isolation (R2): rows violating the records sink's write
+    # contract are skipped-and-logged like the reference's failed insert
+    # batches (duckdb_impl.rs:475-488) instead of failing the stage
+    writable, contract_bad = split_sink_contract(g["routed"])
     err_obs = Observation()
-    errors_obs = g["errors"].observe(err_obs, F.count(F.lit(1)).alias("n"))
+    errors_obs = g["errors"].unionByName(contract_bad).observe(
+        err_obs, F.count(F.lit(1)).alias("n")
+    )
 
     def run_records() -> None:
         t0 = time.perf_counter()
-        write_category_sinks(g["routed"], cfg.output_dir)
+        write_category_sinks(
+            writable, cfg.output_dir, files_per_partition=cfg.files_per_partition
+        )
         lineage = parquet_lineage(os.path.join(cfg.output_dir, "records"))
         commit("records", lineage, sum(p["row_count"] for p in lineage), t0)
 
@@ -248,7 +304,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         rec_dir = os.path.join(cfg.output_dir, "records")
         routed_src = (
             spark.read.parquet(rec_dir)
-            if parquet_lineage(rec_dir)
+            if parquet_file_count(rec_dir)
             else g["routed"]  # zero-record edge: empty dir has no schema
         )
         write_aggregates(
@@ -259,34 +315,41 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         lineage = parquet_lineage(os.path.join(cfg.output_dir, "sink_counts"))
         commit("aggregates", lineage, sum(p["row_count"] for p in lineage), t0)
 
-    # records and parse_errors are independent DAG branches over the staged
-    # scan — submit them CONCURRENTLY (separate driver threads → separate
-    # Spark jobs sharing executor slots: the standard multi-sink pattern).
-    # aggregates depends on the records sink, so it follows.
-    pending = []
-    for stage, fn in (("records", run_records), ("parse_errors", run_errors)):
-        if cfg.resume and manifest.is_committed(stage, fp):
-            skipped.append(stage)
+    # two independent driver-side chains over the staged scan, run
+    # CONCURRENTLY (separate driver threads → separate Spark jobs sharing
+    # executor slots: the standard multi-sink pattern):
+    #   chain A: records write → aggregates (aggregates reads the records
+    #            sink, so it chains — but does NOT wait for errors)
+    #   chain B: errors write
+    def chain_records() -> None:
+        if cfg.resume and manifest.is_committed("records", fp):
+            skipped.append("records")
         else:
-            pending.append(fn)
-    if pending:
-        from concurrent.futures import ThreadPoolExecutor
+            run_records()
+        if cfg.resume and manifest.is_committed("aggregates", fp):
+            skipped.append("aggregates")
+        else:
+            run_aggregates()
 
-        with ThreadPoolExecutor(max_workers=len(pending)) as ex:
-            for f in [ex.submit(fn) for fn in pending]:
-                f.result()  # propagate failures
-    if cfg.resume and manifest.is_committed("aggregates", fp):
-        skipped.append("aggregates")
-    else:
-        run_aggregates()
+    def chain_errors() -> None:
+        if cfg.resume and manifest.is_committed("parse_errors", fp):
+            skipped.append("parse_errors")
+        else:
+            run_errors()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(chain_records), ex.submit(chain_errors)]:
+            f.result()  # propagate failures
 
     # summary inputs come from written files / footers, not extra jobs
-    import pyarrow.parquet as pq
-
-    counts_tbl = pq.read_table(os.path.join(cfg.output_dir, "sink_counts")).to_pylist()
+    # (fs-abstracted: works for local dirs and remote URIs alike)
+    counts_tbl = read_parquet_table(
+        os.path.join(cfg.output_dir, "sink_counts")
+    ).to_pylist()
     counts = {r["category"]: r["n"] for r in counts_tbl}
     n_errors = (manifest.read("parse_errors") or {}).get("row_count", 0)
-    n_turns = sum(p["row_count"] for p in parquet_lineage(cfg.input_path))
     s = make_summary(n_turns, counts, n_errors)
     s.update({"stages_ran": ran, "stages_skipped": skipped, "fingerprint": fp})
     return s

@@ -70,10 +70,30 @@ class Manifest:
 
 def fingerprint_input(path: str, conf: dict | None = None) -> str:
     """Cheap driver-side input fingerprint: file names + sizes + mtimes of
-    the input (file or directory) plus the stage config — no data scan."""
+    the input (file or directory) plus the stage config — no data scan.
+    Remote URIs (s3://, hdfs://…) list through pyarrow.fs, so the resume
+    gate works wherever the data lives."""
     h = hashlib.sha256()
     entries = []
-    if os.path.isdir(path):
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(path)
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.File:
+            infos = [info]
+        elif info.type == pafs.FileType.Directory:
+            infos = [
+                i
+                for i in fs.get_file_info(pafs.FileSelector(p, recursive=True))
+                if i.type == pafs.FileType.File
+            ]
+        else:
+            infos = []
+        for i in sorted(infos, key=lambda i: i.path):
+            mtime = int(i.mtime.timestamp()) if i.mtime else 0
+            entries.append((i.path[len(p) :].lstrip("/") or i.base_name, i.size, mtime))
+    elif os.path.isdir(path):
         for root, _, files in os.walk(path):
             for fn in sorted(files):
                 fp = os.path.join(root, fn)

@@ -1,14 +1,28 @@
 """Fan-out sink writes (SURVEY.md §2.4 K1-K9, Spark-native).
 
-- Category sinks: ONE parquet write partitioned by (category, dt) — the
-  physical fan-out happens inside the write, so the routed DataFrame is
-  scanned once, not once per category (the reference's per-file temp-DB +
-  merge dance, duckdb_impl.rs:349-596, collapses into task-isolated
-  partition files + an atomic directory commit).
+- Category sinks: ONE write partitioned by (category, dt) — the physical
+  fan-out happens inside the write, so the routed DataFrame is scanned
+  once, not once per category (the reference's per-file temp-DB + merge
+  dance, duckdb_impl.rs:349-596, collapses into task-isolated partition
+  files + an atomic directory commit).
+- Sink format is DECIDED BY THE RUNTIME PROBE (sinks/iceberg_probe.py):
+  Iceberg when the catalog + jar are present (snapshot-atomic commits,
+  sort-order metadata), parquet otherwise.  SURVEY §7.1.
 - parse_errors: JSONL with the reference's {path, line, error, raw} shape
   (error_writer.rs:147-152).
 - Exports: CSV / JSON of any sink table (duckdb_impl.rs:292-317), format
   string dispatched like ExportFormat (database/types.rs:21-61).
+
+Scale note (round-3 fix): the routed stream arrives hash-partitioned by
+conv_id, so EVERY task holds rows of nearly every (category, dt) combo —
+writing directly from that layout produces tasks × combos files (measured:
+3,356 files for a 26-day corpus at 32 tasks; at 10^12 turns it is
+millions), which bloats the commit protocol, the lineage walk, and every
+downstream scan.  The writer therefore re-shuffles on
+(category, dt, salt(conv_id)) first: each partition directory is written
+by a BOUNDED number of tasks (≤ files_per_partition), and a hot
+(chat, busy-day) combo still spreads over that many tasks instead of
+funnelling through one (operators/skew.py).
 """
 
 from __future__ import annotations
@@ -17,25 +31,59 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from sqllog_analysis_spark.operators.skew import salted_repartition
+from sqllog_analysis_spark.sinks.iceberg_probe import sink_format
 
-def write_category_sinks(routed: DataFrame, out_dir: str) -> None:
-    """One pass, partitioned fan-out: <out_dir>/category=<c>/dt=<d>/*.parquet.
+
+def write_category_sinks(
+    routed: DataFrame,
+    out_dir: str,
+    fmt: str | None = None,
+    files_per_partition: int = 4,
+    iceberg_table: str | None = None,
+) -> None:
+    """One pass, partitioned fan-out: <out_dir>/records/category=<c>/dt=<d>/.
 
     Rows are sorted WITHIN each task partition by (session, thread, trx_id)
     before the write — the Spark analog of the reference's deferred indexes
     on exactly those columns (duckdb_impl.rs:124-136, 663-667): parquet
     row-group min/max stats on a sorted column give data skipping for
-    point/range lookups, with no shuffle added (the sort is task-local)."""
-    (
+    point/range lookups.
+
+    ``fmt=None`` asks the runtime probe; 'iceberg' writes via the V2
+    ``writeTo`` API into ``iceberg_table`` (snapshot-atomic replace),
+    'parquet' writes the directory layout above.
+    """
+    if fmt is None:
+        fmt = sink_format(routed.sparkSession)
+    out = (
         routed.withColumn("dt", F.to_date("ts"))
+        # bounded-files / bounded-task-size exchange (see module docstring)
+        .transform(
+            lambda df: salted_repartition(
+                df, ["category", "dt"], salt_buckets=files_per_partition
+            )
+        )
         # partition columns lead the sort so the file writer's required
         # ordering (category, dt) is already satisfied and it does NOT
         # inject its own sort on top (which would discard ours)
         .sortWithinPartitions("category", "dt", "session", "thread", "trx_id")
-        .write.mode("overwrite")
-        .partitionBy("category", "dt")
-        .parquet(os.path.join(out_dir, "records"))
     )
+    if fmt == "iceberg":
+        (
+            out.writeTo(iceberg_table or "sinks.records")
+            .using("iceberg")
+            .partitionedBy(F.col("category"), F.col("dt"))
+            .createOrReplace()
+        )
+    elif fmt == "parquet":
+        (
+            out.write.mode("overwrite")
+            .partitionBy("category", "dt")
+            .parquet(os.path.join(out_dir, "records"))
+        )
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
 
 
 def write_error_sink(errors: DataFrame, out_dir: str) -> None:
@@ -44,8 +92,21 @@ def write_error_sink(errors: DataFrame, out_dir: str) -> None:
 
 
 def write_aggregates(sink_counts: DataFrame, conv_buckets: DataFrame, out_dir: str) -> None:
-    sink_counts.write.mode("overwrite").parquet(os.path.join(out_dir, "sink_counts"))
-    conv_buckets.write.mode("overwrite").parquet(os.path.join(out_dir, "conv_buckets"))
+    """Two independent aggregate jobs over the records sink — submitted
+    concurrently from driver threads so their scans overlap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = (
+        lambda: sink_counts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "sink_counts")
+        ),
+        lambda: conv_buckets.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "conv_buckets")
+        ),
+    )
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(j) for j in jobs]:
+            f.result()
 
 
 def export_table(df: DataFrame, fmt: str, path: str) -> None:

@@ -74,6 +74,21 @@ def test_export_file_size_zero_invalid(tmp_path):
         load_config(path=str(p))
 
 
+def test_export_file_size_negative_invalid(tmp_path):
+    p = tmp_path / "c.toml"
+    p.write_text("[export]\nfile_size_bytes = -5\n")
+    with pytest.raises(ConfigError):
+        load_config(path=str(p))
+
+
+def test_bool_slow_ms_invalid(tmp_path):
+    # Python bool is an int subclass; `slow_ms = true` must not pass as 1
+    p = tmp_path / "c.toml"
+    p.write_text("[pipeline]\nslow_ms = true\n")
+    with pytest.raises(ConfigError):
+        load_config(path=str(p))
+
+
 def test_discovery_order_function(tmp_path):
     assert find_config_path(env={}, cwd=str(tmp_path), config_home=str(tmp_path)) is None
     (tmp_path / "config.toml").write_text("")

@@ -274,3 +274,164 @@ def test_iceberg_probe_falls_back_to_parquet(spark):
 
     assert iceberg_available(spark) is False
     assert sink_format(spark) == "parquet"
+
+
+def test_writer_format_driven_by_probe(spark, tmp_path, monkeypatch):
+    """write_category_sinks consults the runtime probe when no format is
+    forced (round-2 finding: the probe existed but nothing called it)."""
+    from sqllog_analysis_spark.sinks import writers
+
+    calls = []
+
+    def fake_probe(s):
+        calls.append(s)
+        return "parquet"
+
+    monkeypatch.setattr(writers, "sink_format", fake_probe)
+    inp = str(tmp_path / "t.parquet")
+    write_transcripts(inp, 300, seed=11)
+    g = build(spark, spark.read.parquet(inp))
+    writers.write_category_sinks(g["routed"], str(tmp_path / "probe_out"))
+    assert len(calls) == 1  # probe decided the format
+
+    with pytest.raises(ValueError, match="unsupported sink format"):
+        writers.write_category_sinks(
+            g["routed"], str(tmp_path / "bad_out"), fmt="orc"
+        )
+
+
+def test_salted_sink_write_bounded_files(spark, tmp_path):
+    """The sink exchange bounds files per (category, dt) directory to
+    files_per_partition, and salting changes no rows (operators/skew.py
+    wired into the write path — round-2 finding #2)."""
+    import glob
+    from collections import Counter
+
+    from sqllog_analysis_spark.sinks.writers import write_category_sinks
+
+    inp = str(tmp_path / "t.parquet")
+    write_transcripts(inp, 2000, seed=13)
+    g = build(spark, spark.read.parquet(inp))
+    fpp = 2
+    out = str(tmp_path / "salted_out")
+    write_category_sinks(g["routed"], out, files_per_partition=fpp)
+
+    files = glob.glob(os.path.join(out, "records", "category=*", "dt=*", "*.parquet"))
+    assert files
+    per_dir = Counter(os.path.dirname(f) for f in files)
+    assert max(per_dir.values()) <= fpp, per_dir.most_common(3)
+
+    # row-set equality: the salted exchange rearranges, never drops/dupes
+    routed = g["routed"].select("conv_id", "turn_idx", "rec_idx").collect()
+    written = (
+        spark.read.parquet(os.path.join(out, "records"))
+        .select("conv_id", "turn_idx", "rec_idx")
+        .collect()
+    )
+    key = lambda r: (r.conv_id, r.turn_idx, r.rec_idx)  # noqa: E731
+    assert sorted(map(key, routed)) == sorted(map(key, written))
+
+
+def test_sink_contract_split_isolates_poison_rows(spark):
+    """R2 (duckdb_impl.rs:475-488 analog): rows violating the sink write
+    contract are skipped-and-logged, not stage-fatal."""
+    from sqllog_analysis_spark.operators.routing import split_sink_contract
+
+    rows = [
+        ("c1", 0, "chat", dt.datetime(2025, 9, 16, 1), "fine"),
+        ("c1", 1, "bogus_category", dt.datetime(2025, 9, 16, 2), "bad cat"),
+        ("c2", 0, "slow_query", None, "null ts"),
+        (None, 0, "chat", dt.datetime(2025, 9, 16, 3), "null conv"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, category string, ts timestamp, description string"
+    )
+    good, bad = split_sink_contract(df)
+    assert [r.conv_id for r in good.collect()] == ["c1"]
+    bad_rows = {r.path: r for r in bad.collect()}
+    assert set(bad_rows) == {"c1", "c2", "<unknown>"}
+    assert all("写入约束错误" in r.error for r in bad_rows.values())
+    assert bad.columns == ["path", "line", "error", "raw"]
+
+
+def test_run_pipeline_poison_partition_commits_rest(spark, tmp_path, monkeypatch):
+    """End-to-end isolation: poison one conversation's routed rows (null
+    ts) mid-pipeline; the other rows still commit to the records sink and
+    the poison surfaces in the parse_errors sink as contract errors."""
+    import sqllog_analysis_spark.plans.pipeline as P
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "transcripts.parquet")
+    out_clean = str(tmp_path / "out_clean")
+    out_poison = str(tmp_path / "out_poison")
+    write_transcripts(inp, 600, seed=7)
+
+    s_clean = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out_clean))
+
+    victim = (
+        spark.read.parquet(os.path.join(out_clean, "records"))
+        .groupBy("conv_id").count().orderBy(F.desc("count"), "conv_id")
+        .first()
+    )
+
+    orig = P.route_records_clean
+
+    def poisoned(routed, degen):
+        df = orig(routed, degen)
+        return df.withColumn(
+            "ts", F.when(F.col("conv_id") == victim.conv_id, None).otherwise(F.col("ts"))
+        )
+
+    monkeypatch.setattr(P, "route_records_clean", poisoned)
+    s_poison = run_pipeline(
+        spark, PipelineConfig(input_path=inp, output_dir=out_poison)
+    )
+
+    # stage committed; victim's rows skipped, everyone else landed
+    assert s_poison["records_routed"] == s_clean["records_routed"] - victim["count"]
+    recs = spark.read.parquet(os.path.join(out_poison, "records"))
+    assert recs.filter(F.col("conv_id") == victim.conv_id).count() == 0
+    # poison rows logged to the error sink on top of the normal parse errors
+    errs = spark.read.json(os.path.join(out_poison, "parse_errors"))
+    contract = errs.filter(F.col("error").contains("写入约束错误"))
+    assert contract.count() == victim["count"]
+    assert s_poison["parse_errors"] == s_clean["parse_errors"] + victim["count"]
+
+
+def test_fingerprint_covers_partitioning_config(spark, tmp_path):
+    """Resume must NOT reuse a staged parse written under a different
+    stable_order/target_partitions (round-2 advice)."""
+    inp = str(tmp_path / "transcripts.parquet")
+    out = str(tmp_path / "out")
+    write_transcripts(inp, 400, seed=8)
+
+    run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    s2 = run_pipeline(
+        spark, PipelineConfig(input_path=inp, output_dir=out, target_partitions=7)
+    )
+    assert "parsed" in s2["stages_ran"]  # stale stage not reused
+
+
+def test_lineage_many_files_parallel(tmp_path):
+    """Footer lineage over a many-file dataset: correct per-file counts,
+    wall time bounded by concurrent I/O rather than a sequential walk
+    (500 footers in well under a second per footer)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sqllog_analysis_spark.sinks.lineage import parquet_file_count, parquet_lineage
+
+    d = tmp_path / "many"
+    d.mkdir()
+    n_files = 500
+    for i in range(n_files):
+        pq.write_table(pa.table({"x": list(range(i % 7 + 1))}), str(d / f"p{i:04d}.parquet"))
+    t0 = time.perf_counter()
+    lin = parquet_lineage(str(d))
+    wall = time.perf_counter() - t0
+    assert len(lin) == n_files
+    assert sum(p["row_count"] for p in lin) == sum(i % 7 + 1 for i in range(n_files))
+    assert parquet_file_count(str(d)) == n_files
+    assert wall < 10.0  # threaded metadata reads, not a per-file serial scan

@@ -40,11 +40,14 @@ cores = int(sys.argv[1]); path = sys.argv[2]
 # parallelism comparison (the box has 128 GiB)
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 # IDENTICAL JOB at every parallelism level: partition counts are pinned to
-# the data (32 exchange partitions, 32 shuffle partitions, same input
+# the data (128 exchange partitions, 128 shuffle partitions, same input
 # splits) — only the number of executor threads varies between legs.  A
 # job whose partitioning adapts to the core count is a DIFFERENT job per
 # leg (fewer, bigger Arrow batches at low core counts flatter the low leg).
-spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=32,
+# 128 = 4 waves of tasks at the widest leg (local[32]): a single-wave
+# layout makes the slowest partition the wall clock with zero straggler
+# smoothing, which is exactly what round 2 measured at 32 partitions.
+spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=128,
                   extra_conf={{"spark.sql.adaptive.enabled": "false",
                                # split the input across tasks; on a real
                                # cluster the default 128m is right, here the
@@ -59,7 +62,7 @@ def one_run(inp, tag):
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
     run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out,
-                                       resume=False, target_partitions=32))
+                                       resume=False, target_partitions=128))
     return time.perf_counter() - t0
 
 # warm-up: JVM/codegen/Arrow worker spin-up, excluded from the measurement.

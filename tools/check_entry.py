@@ -41,7 +41,8 @@ def norm_cell(x):
 def frame_sig(pdf):
     cols = sorted(pdf.columns)
     rows = sorted(
-        tuple(norm_cell(r[c]) for c in cols) for _, r in pdf.iterrows()
+        (tuple(norm_cell(r[c]) for c in cols) for _, r in pdf.iterrows()),
+        key=repr,  # None-safe, mixed-type-safe total order (cube/rollup rows)
     )
     return cols, rows
 
