@@ -114,30 +114,29 @@ def _stream(n: int) -> float:
 
 def _sweep(fn, levels, n, reps) -> dict[int, float]:
     """Effective parallel speedup of ``fn`` work at each process count —
-    a HARDWARE ceiling any software on this VM is subject to.  min wall
-    over reps (host stalls are one-sided)."""
-    base = None
-    eff: dict[int, float] = {}
-    for p in levels:
-        best = float("inf")
-        for _ in range(reps):
+    a HARDWARE ceiling any software on this VM is subject to.
+
+    Robustness against the host's one-sided multi-second stalls: levels
+    are INTERLEAVED round-robin across ``reps`` rounds and each level
+    keeps its minimum wall — a level measured only during a stall window
+    would otherwise corrupt every ratio (observed: a stalled 1-proc
+    baseline makes 2 procs look superlinear)."""
+    walls: dict[int, float] = {p: float("inf") for p in levels}
+    for _ in range(reps):
+        for p in levels:
             with mp.Pool(p) as pool:
                 t0 = time.perf_counter()
                 pool.map(fn, [n] * p)
-                best = min(best, time.perf_counter() - t0)
-        # throughput = work units / sec; speedup vs 1 proc
-        tput = p * n / best
-        if base is None:
-            base = tput
-        eff[p] = tput / base
-    return eff
+                walls[p] = min(walls[p], time.perf_counter() - t0)
+    base_tput = levels[0] * n / walls[levels[0]]
+    return {p: (p * n / walls[p]) / base_tput for p in levels}
 
 
-def cpu_ceiling_sweep(levels=(1, 2, 4, 8, 16, 32), n=6_000_000, reps=4) -> dict[int, float]:
+def cpu_ceiling_sweep(levels=(1, 2, 4, 8, 16, 32), n=6_000_000, reps=6) -> dict[int, float]:
     return _sweep(_burn, levels, n, reps)
 
 
-def membw_ceiling_sweep(levels=(1, 2, 4, 8, 16, 32), n=192_000_000, reps=4) -> dict[int, float]:
+def membw_ceiling_sweep(levels=(1, 2, 4, 8, 16, 32), n=192_000_000, reps=6) -> dict[int, float]:
     return _sweep(_stream, levels, n, reps)
 
 
