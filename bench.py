@@ -48,14 +48,21 @@ HEADLINE = [
 ]
 
 
-def _time_pipeline(spark, inp: str, workdir: str) -> float:
+def _time_pipeline(spark, inp: str, workdir: str, samples: int = 2) -> float:
+    """Best of ``samples`` runs — the sandbox host injects one-sided
+    multi-second stalls (first post-warm-up full-size runs routinely cost
+    2-4x the floor), so the minimum is the machine's real capability;
+    same estimator as tools/bench_scaling.py."""
     from sqllog_analysis_spark.plans.pipeline import PipelineConfig, run_pipeline
 
-    out = os.path.join(workdir, "out")
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.perf_counter()
-    run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out, resume=False))
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(samples):
+        out = os.path.join(workdir, "out")
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out, resume=False))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:

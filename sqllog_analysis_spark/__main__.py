@@ -1,6 +1,8 @@
-"""spark-submit entry point.
+"""CLI entry point.
 
-    spark-submit --py-files sqllog_analysis_spark.zip -m sqllog_analysis_spark ...
+    spark-submit --master <cluster-master> \
+        --py-files dist/sqllog_analysis_spark.zip \
+        submit_main.py --input <transcripts.parquet> --output <dir>
 or locally:
     python -m sqllog_analysis_spark --input <transcripts.parquet> --output <dir>
 

@@ -35,9 +35,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(8, n)
 
+    # Under spark-submit the launcher's JVM gateway already exists (it
+    # exports PYSPARK_GATEWAY_PORT to the python driver) and carries the
+    # --master the user chose; forcing local[...] here would silently turn
+    # a cluster submission into a single-node run.  Everything else below
+    # (AQE, shuffle sizing, Arrow, UTC) applies unchanged on a cluster.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    b = SparkSession.builder if under_submit else SparkSession.builder.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
