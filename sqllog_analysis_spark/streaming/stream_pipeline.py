@@ -41,6 +41,113 @@ def streaming_sink_counts(
     )
 
 
+def streaming_conv_sessions(
+    parsed_stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Custom stateful operator: per-conversation session summaries via
+    ``applyInPandasWithState`` (SURVEY §2.10 extension — the reference has
+    no streaming at all; Spark's own built-ins have no conversation-close
+    semantics either, so this is the applyInPandasWithState tier of the
+    custom-operator ladder).
+
+    State per conv_id accumulates (turns, records, errors, first/last
+    event time) across micro-batches; when a conversation goes quiet for
+    ``gap`` of EVENT time (enforced against the watermark, so late data
+    within the watermark still lands in its session), the operator emits
+    exactly one summary row and drops the state — bounded memory at any
+    conversation cardinality.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_errors", T.LongType()),
+            T.StructField("first_ts", T.TimestampType()),
+            T.StructField("last_ts", T.TimestampType()),
+            T.StructField("duration_sec", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_errors", T.LongType()),
+            T.StructField("first_ms", T.LongType()),
+            T.StructField("last_ms", T.LongType()),
+        ]
+    )
+
+    def close_sessions(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_rec, n_err, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [n_turns],
+                    "n_records": [n_rec],
+                    "n_errors": [n_err],
+                    "first_ts": [pd.Timestamp(first_ms, unit="ms")],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "duration_sec": [(last_ms - first_ms) / 1000.0],
+                }
+            )
+            return
+        n_turns = n_rec = n_err = 0
+        first_ms = last_ms = None
+        for pdf in pdfs:  # vectorized per Arrow batch, no per-row python
+            n_turns += int(pdf["turn_idx"].nunique())
+            n_rec += int(pdf["occurrence_time"].notna().sum())
+            n_err += int(pdf["error"].notna().sum())
+            # unit-robust: datetime64[ns] or [us] → epoch ms
+            ts_ms = pd.Series(
+                pd.to_datetime(pdf["ts"]).values.astype("datetime64[ms]").astype("int64")
+            )
+            first_ms = min(first_ms, int(ts_ms.min())) if first_ms is not None else int(ts_ms.min())
+            last_ms = max(last_ms, int(ts_ms.max())) if last_ms is not None else int(ts_ms.max())
+        prev = state.get if state.exists else (0, 0, 0, first_ms, last_ms)
+        merged = (
+            prev[0] + n_turns,
+            prev[1] + n_rec,
+            prev[2] + n_err,
+            min(prev[3], first_ms),
+            max(prev[4], last_ms),
+        )
+        state.update(merged)
+        # close when event time passes last activity + gap; the timeout must
+        # sit beyond the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(
+            max(merged[4] + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — makes this a generator on the update path
+
+    return (
+        parsed_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            close_sessions,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, path: str, query_name: str = "routed_counts"
 ):

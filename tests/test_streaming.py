@@ -38,3 +38,85 @@ def test_stream_counts_match_batch(spark, tmp_path):
         for r in routed.groupBy("category").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_stateful_conv_sessions_close_on_event_time_gap(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a conversation emits exactly one
+    summary row once event time moves past its last activity + gap, with
+    counts matching a batch aggregation of the same data."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sqllog_analysis_spark.functions.parse import parse_transcripts
+    from sqllog_analysis_spark.schema import TRANSCRIPT_SCHEMA
+    from sqllog_analysis_spark.streaming.stream_pipeline import (
+        streaming_conv_sessions,
+    )
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    t0 = dt.datetime(2025, 9, 16, 0, 0, 0)
+    hdr = "2025-09-16 00:00:00.000 (EP[1] sess:NULL thrd:1 user:u trxid:1 stmt:NULL) [SEL]: q"
+
+    def rows(conv, ts_list, texts):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": pd.Series(range(len(ts_list)), dtype="int32"),
+                "role": "user",
+                "text": texts,
+                "tool": pd.Series([None] * len(ts_list), dtype="string"),
+                "ts": pd.Series(ts_list).astype("datetime64[us]"),
+            }
+        )
+
+    # batch 1: convs A (2 turns: 1 record + 1 parse error) and B (1 record)
+    b1 = pd.concat(
+        [
+            rows("A", [t0, t0 + dt.timedelta(seconds=30)], [hdr, "not a log line"]),
+            rows("B", [t0 + dt.timedelta(seconds=60)], [hdr]),
+        ]
+    )
+    b1.to_parquet(d / "b1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    sessions = streaming_conv_sessions(
+        parse_transcripts(stream), gap="5 minutes", watermark="10 seconds"
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM t_sessions").count() == 0  # nothing closed
+
+        # batch 2: conv C one hour later → watermark passes A/B's gap
+        rows("C", [t0 + dt.timedelta(hours=1)], [hdr]).to_parquet(
+            d / "b2.parquet", index=False
+        )
+        q.processAllAvailable()
+        # one more batch so the timeout fires against the advanced watermark
+        rows("C2", [t0 + dt.timedelta(hours=1, seconds=1)], [hdr]).to_parquet(
+            d / "b3.parquet", index=False
+        )
+        q.processAllAvailable()
+
+        out = {r["conv_id"]: r for r in spark.sql("SELECT * FROM t_sessions").collect()}
+        assert set(out) >= {"A", "B"}, out.keys()
+        a = out["A"]
+        assert a["n_turns"] == 2 and a["n_records"] == 1 and a["n_errors"] == 1
+        assert a["duration_sec"] == 30.0
+        b = out["B"]
+        assert b["n_turns"] == 1 and b["n_records"] == 1 and b["n_errors"] == 0
+    finally:
+        q.stop()
