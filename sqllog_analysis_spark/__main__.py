@@ -34,7 +34,10 @@ def main(argv: list[str] | None = None) -> int:
 
     ap = argparse.ArgumentParser(prog="sqllog_analysis_spark")
     ap.add_argument("--config", default=None, help="config.toml path (overrides discovery)")
-    ap.add_argument("--input", default=None, help="transcripts parquet path")
+    ap.add_argument("--input", default=None, help="transcripts parquet path (or dmsql log dir with --input-format raw)")
+    ap.add_argument("--input-format", default=None, choices=["transcripts", "raw"],
+                    help="'transcripts' parquet table (default) or 'raw' "
+                         "dmsql_*.log directory (the reference CLI's input)")
     ap.add_argument("--output", default=None, help="output directory (sinks + manifest)")
     ap.add_argument("--slow-ms", type=int, default=None, help="slow-query threshold (ms)")
     ap.add_argument("--bucket", default=None, choices=["minute", "hour", "day"])
@@ -52,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
         # CLI overrides file values, file values override defaults
         if args.input is not None:
             cfg.input = args.input
+        if args.input_format is not None:
+            cfg.input_format = args.input_format
         if args.output is not None:
             cfg.output = args.output
         if args.slow_ms is not None:
@@ -112,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             PipelineConfig(
                 input_path=cfg.input,
+                input_format=cfg.input_format,
                 output_dir=out_dir,
                 slow_ms=cfg.slow_ms,
                 bucket=cfg.bucket,

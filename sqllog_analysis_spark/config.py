@@ -53,6 +53,10 @@ class ConfigError(Exception):
 @dataclass
 class AppConfig:
     input: str = "transcripts.parquet"
+    # 'transcripts' = parquet table (the graft input); 'raw' = a directory
+    # of dmsql_*.log files read via the splittable chunk reader — the
+    # reference CLI's native input (src/app.rs:105-124)
+    input_format: str = "transcripts"
     output: str = "out"
     slow_ms: int = 1000
     bucket: str = "hour"
@@ -122,6 +126,7 @@ def load_config(
     cfg.config_path = path
     pipe = data.get("pipeline", {})
     cfg.input = pipe.get("input", cfg.input)
+    cfg.input_format = str(pipe.get("input_format", cfg.input_format)).lower()
     cfg.output = pipe.get("output", cfg.output)
     cfg.slow_ms = pipe.get("slow_ms", cfg.slow_ms)
     cfg.bucket = pipe.get("bucket", cfg.bucket)
@@ -152,6 +157,8 @@ def validate(cfg: AppConfig) -> None:
         raise ConfigError("invalid slow_ms: must be a positive integer")
     if cfg.bucket not in ("minute", "hour", "day"):
         raise ConfigError(f"invalid bucket: {cfg.bucket!r}")
+    if cfg.input_format not in ("transcripts", "raw"):
+        raise ConfigError(f"invalid input_format: {cfg.input_format!r}")
     if cfg.export_file_size_bytes is not None and (
         isinstance(cfg.export_file_size_bytes, bool)
         or not isinstance(cfg.export_file_size_bytes, int)

@@ -73,6 +73,10 @@ from sqllog_analysis_spark.sources.transcripts import role_tool_dim_rows
 class PipelineConfig:
     input_path: str
     output_dir: str
+    # 'transcripts' = parquet table; 'raw' = dmsql_*.log directory via the
+    # splittable chunk reader (sources/logfiles.py) — the reference CLI's
+    # native input, same downstream graph
+    input_format: str = "transcripts"
     slow_ms: int = 1000
     bucket: str = "hour"
     stable_order: bool = True
@@ -205,6 +209,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             "bucket": cfg.bucket,
             "stable_order": cfg.stable_order,
             "target_partitions": cfg.target_partitions,
+            "input_format": cfg.input_format,
             **cfg.conf,
         },
     )
@@ -217,9 +222,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     in_obs = Observation()
     # counts the pipeline's input turns DURING the staged-write job —
     # zero extra jobs, no driver-side walk of the (possibly remote) input
-    transcripts = spark.read.parquet(cfg.input_path).observe(
-        in_obs, F.count(F.lit(1)).alias("n")
-    )
+    if cfg.input_format == "raw":
+        from sqllog_analysis_spark.sources.logfiles import read_sqllog_dir
+
+        source = read_sqllog_dir(spark, cfg.input_path)
+    else:
+        source = spark.read.parquet(cfg.input_path)
+    transcripts = source.observe(in_obs, F.count(F.lit(1)).alias("n"))
     parse_committed = cfg.resume and manifest.is_committed("parsed", fp)
     t_parse = time.perf_counter()
     g = build_staged(

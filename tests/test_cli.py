@@ -27,3 +27,29 @@ def test_cli_end_to_end_with_export(spark, tmp_path, capsys):
     assert os.path.isdir(os.path.join(out, "records"))
     assert os.path.isdir(os.path.join(out, "export"))
     assert "turns_processed" in capsys.readouterr().out
+
+
+def test_cli_raw_log_dir_mode(spark, tmp_path, capsys):
+    """--input-format raw: the CLI ingests a dmsql_*.log directory through
+    the splittable chunk reader and runs the identical downstream graph
+    (the reference CLI's native input, app.rs:105-124)."""
+    import json
+
+    from tests.test_logfiles import make_dir
+
+    d = make_dir(tmp_path)
+    out = str(tmp_path / "raw_out")
+    rc = main(["--input", d, "--input-format", "raw", "--output", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["records_routed"] > 0
+    # the junk-only file is a degenerate input → synthetic 无有效日志行 error
+    assert summary["parse_errors"] >= 2  # broken header + degenerate file
+    assert os.path.isdir(os.path.join(out, "records"))
+
+
+def test_cli_rejects_bad_input_format(tmp_path):
+    # config-file validation path: invalid input_format exits 2
+    p = tmp_path / "c.toml"
+    p.write_text("[pipeline]\ninput_format = \"xml\"\n")
+    assert main(["--config", str(p)]) == 2
