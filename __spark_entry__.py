@@ -452,6 +452,19 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the md5-flavor minhash-LSH pair set:
+    (doc_id, cluster_id=min id in component).  The pair set is already
+    hash-identical to the DuckDB oracle (q_minhash_lsh); the clustering is
+    checked against a recursive-CTE transitive closure over those same
+    pairs — an iterative Spark algorithm vs a foreign engine's fixpoint."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, n_hashes=16, bands=4, shingle_k=3, max_bucket=200, hash_fn="md5"
+    )
+    return DD.dup_clusters(pairs).orderBy("doc_id")
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
     """Hyperplane-LSH approximate neighbors (rows-only; approximate)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -518,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "cosine_topk": q_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -579,6 +593,31 @@ def _minhash_lsh_sql(n_hashes: int, bands: int, shingle_k: int, max_bucket: int)
         FROM b2 x JOIN b2 y
           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         ORDER BY a, b
+    """
+
+
+def _dup_clusters_sql(n_hashes: int, bands: int, shingle_k: int, max_bucket: int) -> str:
+    """Transitive closure (recursive CTE) over the exact minhash-LSH pair
+    set — the foreign-engine fixpoint the Spark label propagation must
+    reproduce."""
+    pairs_sql = _minhash_lsh_sql(n_hashes, bands, shingle_k, max_bucket)
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a, b FROM ({pairs_sql}) mh
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION
+            SELECT b AS src, a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id,
+               LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
     """
 
 
@@ -704,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         **_pipeline_oracle_sql(),
         "media_features": _media_features_sql(),
         "minhash_lsh": _minhash_lsh_sql(16, 4, 3, 200),
+        "dup_clusters": _dup_clusters_sql(16, 4, 3, 200),
         "simhash": _simhash_sql(60, "WHERE doc_id < 200"),
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5, 1000, "WHERE doc_id < 300"),
         "pricing_summary": """

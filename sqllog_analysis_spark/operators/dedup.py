@@ -257,3 +257,62 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster_id)
+    with cluster_id = the component's minimum doc id.
+
+    This is the step after any pair generator (minhash_lsh_pairs /
+    simhash / ngram_jaccard_pairs / embedding near-dup): pairs chain
+    transitively (A~B, B~C ⇒ {A,B,C} are one duplicate group), and dedup
+    keeps one representative per component.
+
+    Algorithm: iterative min-label propagation (each round every node takes
+    the min label among itself and its neighbors), the DataFrame-native
+    form of connected components.  Rounds = graph diameter — near-dup
+    components are shallow (stars/chains of a few hops), so this converges
+    in a handful of rounds; each round is one join + one groupBy on edges,
+    both shuffle-partitioned on node id.  ``localCheckpoint`` cuts the
+    lineage each round so the plan stays constant-size (on a cluster,
+    point ``spark.sparkContext.setCheckpointDir`` at durable storage and
+    swap in ``checkpoint`` for executor-failure tolerance).
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -13,6 +13,7 @@ At 100 TB the corpus side stays partitioned; only probes (small) broadcast.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -73,13 +74,48 @@ def hyperplanes(dim: int, bits: int = 12, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
+# Above this many inlined literals the sign-plane expression tree stops
+# being a codegen win and becomes a quadratic plan-size hazard; switch to
+# the Arrow-vectorized matmul UDF instead (numpy does (n, dim) @ (dim,
+# bits) per batch — one closure-captured plane matrix, constant plan size).
+_MAX_PLANE_LITERALS = 2048
+
+
 def bucket_ids(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id of a vector under the given hyperplanes."""
+    """Sign-bit bucket id of a vector under the given hyperplanes.
+
+    Small plane sets inline as JVM column expressions (whole-stage
+    codegen); larger ones dispatch to a pandas UDF automatically — same
+    buckets, constant plan size at any ``bits``.
+    """
+    bits = len(planes)
+    if bits > 62:
+        raise ValueError(f"bits={bits} exceeds the 63-bit bucket id")
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if bits * len(planes[0]) > _MAX_PLANE_LITERALS:
+        return _bucket_ids_udf(planes)(col)
     bucket = F.lit(0).cast("long")
     for i, h in enumerate(planes):
         arr = F.array(*[F.lit(float(v)) for v in h])
-        bucket = bucket + F.when(_dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, arr) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.when(
+            _dot(col, arr) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def _bucket_ids_udf(planes: list[list[float]]):
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(planes, dtype=np.float64)  # (bits, dim)
+    weights = (np.int64(1) << np.arange(mat.shape[0], dtype=np.int64))
+
+    @pandas_udf("long")
+    def _buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (n, dim)
+        signs = (m @ mat.T) > 0  # (n, bits)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return _buckets
 
 
 def lsh_topk(

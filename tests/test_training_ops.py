@@ -164,3 +164,63 @@ def test_real_decode_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         real_decode_stub(b"x")
+
+
+def test_dup_clusters_components(spark):
+    """Label propagation finds full components: a triangle-free chain and a
+    separate pair; cluster_id is the component's min doc id."""
+    from sqllog_analysis_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; the min
+    label must still reach the far end."""
+    from sqllog_analysis_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_bucket_ids_udf_path_matches_expression_path(spark):
+    """Above the literal-inlining threshold bucket_ids switches to the
+    Arrow matmul UDF; both paths must produce identical buckets."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sqllog_analysis_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.standard_normal(64).tolist()) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    planes = S.hyperplanes(64, bits=8, seed=3)
+
+    expr = df.select("vec_id", S.bucket_ids("embedding", planes).alias("b"))
+    udf = df.select("vec_id", S._bucket_ids_udf(planes)(F.col("embedding")).alias("b"))
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, udf.collect()))
+
+
+def test_lsh_topk_high_bits_uses_constant_size_plan(spark):
+    """bits=40 over dim=64 (2560 literals) must not inline the plane matrix
+    into the plan; the query still runs and returns ranked neighbors."""
+    import numpy as np
+
+    from sqllog_analysis_spark.operators.similarity import lsh_topk
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, rng.standard_normal(64).tolist()) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = df.filter("vec_id < 2")
+    out = lsh_topk(df, probes, dim=64, k=3, bits=40)
+    rows = out.collect()  # high bits → most buckets singleton; just sanity
+    assert all(r["rank"] <= 3 for r in rows)
