@@ -474,6 +474,20 @@ def q_lsh_cosine_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, probes, dim=64, k=5, bits=6)
 
 
+def q_ivf_full_topk(spark, sf_dir):
+    """IVF ANN at nprobe == n_centroids: every Voronoi cell is searched, so
+    the result must EQUAL exact brute-force cosine top-k — a hash check of
+    the whole IVF machinery (deterministic mini-kmeans, Arrow cell
+    assignment, cell join, candidate ranking) against the same DuckDB
+    oracle as cosine_topk.  Smaller nprobe is the approximate scale path,
+    pinned by a recall pytest (tests/test_training_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, probes, k=5, n_centroids=8, nprobe=8)
+
+
 # ---------------------------------------------------------------------------
 # The transcript pipeline itself (rows-only: not a pre-registered view)
 # ---------------------------------------------------------------------------
@@ -535,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_full_topk": q_ivf_full_topk,
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
@@ -736,6 +751,25 @@ def _pipeline_oracle_sql(n_turns: int = _CONTRACT_N_TURNS) -> dict[str, str]:
             ORDER BY category
         """,
     }
+
+
+_COSINE_TOPK_SQL = """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+         scored AS (
+             SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                    ROUND(list_dot_product(p.v, c.v) /
+                          (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+             FROM c, p WHERE c.vec_id != p.vec_id
+         ), ranked AS (
+             SELECT probe_id, neighbor_id, cosine,
+                    ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM scored
+         )
+    SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -970,23 +1004,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS total_bpe
             FROM per_doc GROUP BY source ORDER BY source
         """,
-        "cosine_topk": """
-            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-                 p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
-                 scored AS (
-                     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-                            ROUND(list_dot_product(p.v, c.v) /
-                                  (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
-                     FROM c, p WHERE c.vec_id != p.vec_id
-                 ), ranked AS (
-                     SELECT probe_id, neighbor_id, cosine,
-                            ROW_NUMBER() OVER (PARTITION BY probe_id
-                                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
-                     FROM scored
-                 )
-            SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
-            FROM ranked WHERE rank <= 5
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # IVF at full probe is exactly brute force — same oracle
+        "ivf_full_topk": _COSINE_TOPK_SQL,
     }
 
 

@@ -139,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
                     read_sink(spark, out_dir),
                     cfg.export_format,
                     os.path.join(out_dir, "export"),
+                    file_size_bytes=cfg.export_file_size_bytes,
                 )
         summary["in_memory"] = cfg.in_memory
         if cfg.config_path:

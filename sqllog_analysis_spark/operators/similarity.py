@@ -152,3 +152,103 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other standard scale path next to
+# hyperplane LSH: partition the corpus into Voronoi cells around learned
+# centroids; probes search only their nprobe nearest cells.
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    iters: int = 5,
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """Mini-kmeans over a bounded, DETERMINISTIC sample (first sample_cap
+    rows by id — TakeOrdered, no full sort), trained driver-side in numpy.
+    Standard IVF practice: centroid training touches a sample, never the
+    corpus; the corpus-side work is one narrow assignment pass."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def _ivf_cells_udf(cents: np.ndarray, nprobe: int):
+    """Arrow-vectorized nearest-cells assignment: argsort over
+    ||x-c||² = ||x||² − 2x·c + ||c||² (the ||x||² term is rank-invariant).
+    Constant plan size at any (n_centroids, dim)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c2 = (cents**2).sum(axis=1)  # (n_centroids,)
+
+    @pandas_udf("array<long>")
+    def _cells(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (n, dim)
+        scores = -2.0 * (m @ cents.T) + c2  # (n, n_centroids)
+        top = np.argsort(scores, axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(top))
+
+    return _cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: corpus rows live in their single
+    nearest cell; each probe searches its ``nprobe`` nearest cells with
+    exact cosine ranking inside the candidate set.
+
+    nprobe == n_centroids degenerates to exact brute force (pytest pins
+    this equivalence); smaller nprobe trades recall for a ~n_centroids/
+    nprobe shrink of the scanned corpus.  The corpus never shuffles: the
+    cell assignment is a narrow Arrow pass, and probes (small) broadcast.
+    """
+    cents = ivf_centroids(corpus, n_centroids, vec_col, id_col, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(_ivf_cells_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pvec"),
+        F.explode(_ivf_cells_udf(cents, nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(p), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("pvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+        .distinct()
+    )

@@ -224,3 +224,64 @@ def test_lsh_topk_high_bits_uses_constant_size_plan(spark):
     out = lsh_topk(df, probes, dim=64, k=3, bits=40)
     rows = out.collect()  # high bits → most buckets singleton; just sanity
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """nprobe == n_centroids searches every cell → must reproduce the
+    exact brute-force top-k (same rounding, same tie order)."""
+    import numpy as np
+
+    from sqllog_analysis_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, rng.standard_normal(32).tolist()) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = df.filter("vec_id < 4")
+
+    exact = sorted(map(tuple, brute_force_topk(df, probes, k=5).collect()))
+    ivf = sorted(
+        map(tuple, ivf_topk(df, probes, k=5, n_centroids=4, nprobe=4).collect())
+    )
+    assert ivf == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    """nprobe=2 of 8 cells: recall against exact top-5 stays useful and the
+    candidate set shrinks (the scale trade IVF exists for)."""
+    import numpy as np
+
+    from sqllog_analysis_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(6)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = df.filter("vec_id < 5")
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, probes, k=5).collect()
+    }
+    approx = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ivf_topk(df, probes, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_export_file_size_bytes_splits_output(spark, tmp_path):
+    """export.file_size_bytes (validated-but-unused in the reference)
+    actually rolls files in the graft: many small files, none wildly over
+    the cap."""
+    import glob
+    import os
+
+    from sqllog_analysis_spark.sinks.writers import export_table
+
+    df = spark.range(2000).selectExpr(
+        "id", "repeat('x', 100) AS pad"
+    ).coalesce(1)
+    out = str(tmp_path / "exp")
+    export_table(df, "csv", out, file_size_bytes=10_000)
+    files = [f for f in glob.glob(os.path.join(out, "*.csv"))]
+    assert len(files) > 5  # ~2000 rows × ~105 B ≈ 210 KB / 10 KB cap
+    assert max(os.path.getsize(f) for f in files) < 30_000
