@@ -148,6 +148,40 @@ def streaming_conv_sessions(
     )
 
 
+def stream_to_category_sinks(
+    routed_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Continuous ingestion into a partitioned records sink via
+    ``foreachBatch`` (X1 batch-consumer hook), with EXACTLY-ONCE delivery:
+
+    each micro-batch lands in its own ``ingest_batch=<id>`` partition
+    directory written with mode=overwrite — a retried/reprocessed batch id
+    REPLACES its own output instead of appending duplicates, and the
+    streaming checkpoint guarantees batch ids are assigned once.  Readers
+    scan the root (ingest_batch / category / dt are all partition
+    columns, so pruning works on any of them).  This is the plain-parquet
+    analog of an Iceberg snapshot-per-batch commit.
+    """
+    import os
+
+    rec_root = os.path.join(out_dir, "records_stream")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("dt", F.to_date("ts"))
+            .sortWithinPartitions("category", "dt", "session")
+            .write.mode("overwrite")
+            .partitionBy("category", "dt")
+            .parquet(os.path.join(rec_root, f"ingest_batch={batch_id}"))
+        )
+
+    return (
+        routed_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, path: str, query_name: str = "routed_counts"
 ):

@@ -120,3 +120,58 @@ def test_stateful_conv_sessions_close_on_event_time_gap(spark, tmp_path):
         assert b["n_turns"] == 1 and b["n_records"] == 1 and b["n_errors"] == 0
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_stream_to_category_sinks_exactly_once(spark, tmp_path):
+    """foreachBatch sink: per-batch overwrite directories give exactly-once
+    delivery — row set equals the batch pipeline's routed set, and a
+    restart from the same checkpoint with no new data adds nothing."""
+    from pyspark.sql import functions as F
+
+    from sqllog_analysis_spark.functions.parse import parse_transcripts
+    from sqllog_analysis_spark.operators.routing import route_records
+    from sqllog_analysis_spark.schema import TRANSCRIPT_SCHEMA
+    from sqllog_analysis_spark.streaming.stream_pipeline import (
+        stream_to_category_sinks,
+        streaming_routed,
+    )
+
+    d = tmp_path / "sink_in"
+    d.mkdir()
+    write_transcripts(str(d / "p0.parquet"), 300, seed=17)
+    write_transcripts(str(d / "p1.parquet"), 300, seed=18)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+            .parquet(str(d))
+        )
+        q = stream_to_category_sinks(
+            streaming_routed(stream.repartition(4)), out, ckpt
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    got = spark.read.parquet(out + "/records_stream")
+    key = ["conv_id", "turn_idx", "rec_idx"]
+    got_keys = sorted(map(tuple, got.select(*key).collect()))
+
+    # batch reference: same parse+route over the same files
+    batch = route_records(
+        parse_transcripts(spark.read.schema(TRANSCRIPT_SCHEMA).parquet(str(d)))
+    )
+    want_keys = sorted(map(tuple, batch.select(*key).collect()))
+    assert got_keys == want_keys
+    assert got.select("ingest_batch").distinct().count() >= 2  # multi-batch
+
+    # restart from the same checkpoint: nothing new → no duplicates
+    run_once()
+    assert (
+        sorted(map(tuple, spark.read.parquet(out + "/records_stream").select(*key).collect()))
+        == want_keys
+    )
