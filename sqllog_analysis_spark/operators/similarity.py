@@ -127,9 +127,17 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: join probes to corpus rows in the SAME
-    hyperplane-sign bucket only, then exact-rank within candidates."""
+    hyperplane-sign bucket, then exact-rank within candidates.
+
+    ``multi_probe > 0`` additionally probes every bucket within that
+    Hamming distance of the probe's own bucket (classic multi-probe LSH:
+    a near neighbor that lands just across one hyperplane is recovered by
+    flipping that bit).  Cost grows with C(bits, ≤multi_probe) probe rows
+    — probes are the SMALL side, so this multiplies the broadcast, not
+    the corpus scan."""
     planes = hyperplanes(dim, bits, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -141,6 +149,17 @@ def lsh_topk(
         F.col(vec_col).alias("pvec"),
         bucket_ids(vec_col, planes).alias("bucket"),
     )
+    if multi_probe > 0:
+        if multi_probe > 1:
+            raise NotImplementedError("multi_probe > 1 not implemented")
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits)
+            ],
+        )
+        p = p.withColumn("bucket", F.explode(flips))
     scored = (
         c.join(F.broadcast(p), "bucket")
         .filter(F.col("neighbor_id") != F.col("probe_id"))

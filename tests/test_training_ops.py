@@ -285,3 +285,36 @@ def test_export_file_size_bytes_splits_output(spark, tmp_path):
     files = [f for f in glob.glob(os.path.join(out, "*.csv"))]
     assert len(files) > 5  # ~2000 rows × ~105 B ≈ 210 KB / 10 KB cap
     assert max(os.path.getsize(f) for f in files) < 30_000
+
+
+def test_lsh_topk_multi_probe_improves_recall(spark):
+    """Hamming-1 multi-probe recovers neighbors that sit just across one
+    hyperplane: recall must be at least as high as single-bucket probing
+    and reach a strictly stronger floor on the clustered corpus."""
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((20, 16))
+    vecs = [
+        (i, (base[i % 20] + 0.05 * rng.standard_normal(16)).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") < 3)
+    exact = SIM.brute_force_topk(df, probes, k=5).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(want[p] & got.get(p, set())) / len(want[p]) for p in want
+        ) / len(want)
+
+    single = recall(SIM.lsh_topk(df, probes, dim=16, k=5, bits=4).collect())
+    multi = recall(
+        SIM.lsh_topk(df, probes, dim=16, k=5, bits=4, multi_probe=1).collect()
+    )
+    assert multi >= single
+    assert multi >= 0.8
