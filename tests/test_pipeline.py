@@ -435,3 +435,52 @@ def test_lineage_many_files_parallel(tmp_path):
     assert sum(p["row_count"] for p in lin) == sum(i % 7 + 1 for i in range(n_files))
     assert parquet_file_count(str(d)) == n_files
     assert wall < 10.0  # threaded metadata reads, not a per-file serial scan
+
+
+def test_resume_replaces_partial_sink_output(spark, tmp_path):
+    """Crash consistency: a run that died mid-write leaves a partial,
+    uncommitted records dir (no manifest entry). The rerun must REPLACE
+    that directory wholesale — no duplicate rows, no orphan files — which
+    is exactly what stage-owned overwrite dirs + manifest gating promise."""
+    inp = str(tmp_path / "transcripts.parquet")
+    out = str(tmp_path / "out")
+    # NB seed matters: seed=4 @500 draws ONE conversation, which the
+    # generator then marks degenerate — a zero-record corpus
+    write_transcripts(inp, 800, seed=5)
+
+    s1 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    n_expected = s1["records_routed"]
+    assert n_expected > 0
+
+    # simulate the crash aftermath: orphan garbage inside the sink dir and
+    # a manifest that never recorded the records commit
+    import glob
+
+    part_dir = sorted(glob.glob(os.path.join(out, "records", "category=*", "dt=*")))[0]
+    orphan = os.path.join(part_dir, "orphan-partial.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a real parquet footer")
+    os.remove(os.path.join(out, "_manifest", "records.json"))
+
+    s2 = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    assert "records" in s2["stages_ran"]
+    assert not os.path.exists(orphan)  # overwrite wiped the partial output
+    recs = spark.read.parquet(os.path.join(out, "records"))
+    assert recs.count() == n_expected  # no duplication
+    assert s2["records_routed"] == n_expected
+
+
+def test_run_pipeline_zero_record_corpus(spark, tmp_path):
+    """A corpus whose only conversation is degenerate routes ZERO records:
+    the pipeline must still commit every stage (empty records sink, empty
+    aggregates) and put the synthetic errors in the error sink."""
+    inp = str(tmp_path / "transcripts.parquet")
+    out = str(tmp_path / "out")
+    write_transcripts(inp, 500, seed=4)  # one conv, generator-degenerate
+
+    s = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    assert s["records_routed"] == 0 and s["per_sink"] == {}
+    assert s["parse_errors"] > 0
+    assert set(s["stages_ran"]) == {"parsed", "records", "parse_errors", "aggregates"}
+    errs = spark.read.json(os.path.join(out, "parse_errors"))
+    assert errs.count() == s["parse_errors"]
