@@ -452,6 +452,19 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS scheme): per-doc set of
+    window-minimum k-gram hashes, exploded to (doc_id, fp) rows.  Narrow
+    column expressions only; DuckDB mirrors the same md5-hex scheme."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        d.select(
+            "doc_id", F.explode(TX.winnow_fingerprints("text", k=5, w=4)).alias("fp")
+        )
+        .orderBy("doc_id", "fp")
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Connected components over the md5-flavor minhash-LSH pair set:
     (doc_id, cluster_id=min id in component).  The pair set is already
@@ -542,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "token_count_bpe": q_token_count_bpe,
         "cosine_topk": q_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
@@ -608,6 +622,36 @@ def _minhash_lsh_sql(n_hashes: int, bands: int, shingle_k: int, max_bucket: int)
         FROM b2 x JOIN b2 y
           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         ORDER BY a, b
+    """
+
+
+def _winnow_sql(k: int, w: int, hash_len: int, where: str) -> str:
+    """DuckDB mirror of functions/text.py::winnow_fingerprints — identical
+    md5-hex k-gram hashes, identical window minima (hex string order ==
+    numeric order), identical short-text edge (one whole-text gram)."""
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents {where}
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(length(t) - {k - 1}, 1)),
+                       i -> substr(md5(substr(t, i, {k})), 1, {hash_len})
+                   ) AS grams
+            FROM docs
+        ),
+        m AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       generate_series(1, greatest(len(grams) - {w - 1}, 1)),
+                       j -> list_min(grams[j:j + {w - 1}])
+                   ))) AS fps
+            FROM g
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp
     """
 
 
@@ -778,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_sql(),
         "minhash_lsh": _minhash_lsh_sql(16, 4, 3, 200),
         "dup_clusters": _dup_clusters_sql(16, 4, 3, 200),
+        "winnow_fingerprint": _winnow_sql(5, 4, 16, "WHERE doc_id < 100"),
         "simhash": _simhash_sql(60, "WHERE doc_id < 200"),
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5, 1000, "WHERE doc_id < 300"),
         "pricing_summary": """

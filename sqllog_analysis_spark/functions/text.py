@@ -86,3 +86,35 @@ def fingerprint(col: str = "text") -> Column:
     the exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
     return F.md5(norm)
+
+
+def winnow_fingerprints(
+    col: str = "text", k: int = 5, w: int = 4, hash_len: int = 16
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme): hash every character k-gram of the normalized
+    text, then keep the minimum hash of each w-hash window — a
+    position-robust fingerprint SET that survives insertions/deletions
+    (unlike the whole-document :func:`fingerprint`, which any edit
+    changes).
+
+    Entirely narrow column expressions (sequence/transform/slice/
+    array_min) — no explode, no shuffle, no Python.  Hashes are hex
+    prefixes of md5 compared lexicographically (hex order == numeric
+    order), so a foreign SQL engine reproduces them bit-for-bit for the
+    driver-contract oracle.  Returns a sorted de-duplicated array of hex
+    fingerprints.
+    """
+    t = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    n = F.length(t)
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(
+        gram_idx,
+        lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, hash_len),
+    )
+    n_g = F.size(grams)
+    win_idx = F.sequence(F.lit(1), F.greatest(n_g - (w - 1), F.lit(1)))
+    mins = F.transform(
+        win_idx, lambda j: F.array_min(F.slice(grams, j, w))
+    )
+    return F.array_sort(F.array_distinct(mins))
