@@ -479,7 +479,11 @@ def q_dup_clusters(spark, sf_dir):
 
 
 def q_lsh_cosine_topk(spark, sf_dir):
-    """Hyperplane-LSH approximate neighbors (rows-only; approximate)."""
+    """Hyperplane-LSH approximate neighbors.  The ±1 Rademacher planes are
+    derived from md5(seed:i:j) (operators/similarity.py::hyperplanes), so
+    the DuckDB oracle rebuilds the identical plane matrix and bucket
+    assignment in SQL — the approximate result is hash-checked exactly,
+    not just recall-pinned."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -797,6 +801,49 @@ def _pipeline_oracle_sql(n_turns: int = _CONTRACT_N_TURNS) -> dict[str, str]:
     }
 
 
+def _lsh_topk_sql(bits: int, dim: int, seed: int, k: int) -> str:
+    """DuckDB mirror of operators/similarity.py::lsh_topk with the
+    md5-derived Rademacher hyperplanes: identical plane matrix (entry
+    (i, j) sign = low bit of the first hex char of md5('seed:i:j')),
+    identical sign-bit bucket ids, identical exact ranking within the
+    probe's bucket."""
+    return f"""
+        WITH pl AS (
+            SELECT i, j,
+                   CASE WHEN ('0x' || substr(md5('{seed}:' || i || ':' || j), 1, 1))::INT & 1 = 1
+                        THEN 1.0 ELSE -1.0 END AS e
+            FROM generate_series(0, {bits - 1}) t1(i),
+                 generate_series(0, {dim - 1}) t2(j)
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dots AS (
+            SELECT v.vec_id, pl.i, SUM(v.v[pl.j + 1] * pl.e) AS d
+            FROM v, pl GROUP BY v.vec_id, pl.i
+        ),
+        bk AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        c AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk USING (vec_id)),
+        p AS (SELECT * FROM c WHERE vec_id < 5),
+        scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(p.v, c.v) /
+                         (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+            FROM c JOIN p ON c.bucket = p.bucket AND c.vec_id != p.vec_id
+        ),
+        ranked AS (
+            SELECT probe_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 _COSINE_TOPK_SQL = """
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
@@ -1052,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         # IVF at full probe is exactly brute force — same oracle
         "ivf_full_topk": _COSINE_TOPK_SQL,
+        "lsh_cosine_topk": _lsh_topk_sql(6, 64, 42, 5),
     }
 
 

@@ -46,13 +46,3 @@ def summary(
         "per_sink": routed_counts,
         "parse_errors": n_errors,
     }
-
-
-def partition_lineage(df: DataFrame, stage: str) -> DataFrame:
-    """Per-partition row counts for the checkpoint manifest (north rule:
-    'every stage writes per-partition lineage and row-count metrics')."""
-    return (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count("*").alias("row_count"))
-        .withColumn("stage", F.lit(stage))
-    )

@@ -281,15 +281,20 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter:
     transitively (A~B, B~C ⇒ {A,B,C} are one duplicate group), and dedup
     keeps one representative per component.
 
-    Algorithm: iterative min-label propagation (each round every node takes
-    the min label among itself and its neighbors), the DataFrame-native
-    form of connected components.  Rounds = graph diameter — near-dup
-    components are shallow (stars/chains of a few hops), so this converges
-    in a handful of rounds; each round is one join + one groupBy on edges,
-    both shuffle-partitioned on node id.  ``localCheckpoint`` cuts the
-    lineage each round so the plan stays constant-size (on a cluster,
-    point ``spark.sparkContext.setCheckpointDir`` at durable storage and
-    swap in ``checkpoint`` for executor-failure tolerance).
+    Algorithm: min-label propagation WITH pointer jumping — each round
+    every node takes the min label among itself and its neighbors, then
+    additionally adopts its label's own label (path-halving).  The jump
+    step makes long chains converge in O(log diameter) rounds instead of
+    O(diameter), so ``max_iter=25`` safely covers components of diameter
+    in the millions; each round is two joins + one groupBy, all
+    shuffle-partitioned on node id.  ``localCheckpoint`` cuts the lineage
+    each round so the plan stays constant-size (on a cluster, point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
+    ``checkpoint`` for executor-failure tolerance).
+
+    Raises ``RuntimeError`` if the propagation has not converged after
+    ``max_iter`` rounds — an unconverged result would silently split one
+    true component into several clusters.
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.unionByName(
@@ -300,19 +305,27 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jump: label ← label(label).  Labels are themselves node
+        # ids, so one more equi-join halves every propagation path.
+        jump = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("jumped")
+        )
         new_labels = (
-            labels.join(nbr, "node", "left")
+            stepped.join(jump, "label", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+                F.least(F.col("label"), F.coalesce("jumped", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -325,7 +338,14 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds; "
+            "raise max_iter (components of diameter > 2^max_iter are implausible "
+            "for near-dup graphs — check the pair generator for degeneracy)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -12,6 +12,9 @@ At 100 TB the corpus side stays partitioned; only probes (small) broadcast.
 
 from __future__ import annotations
 
+import hashlib
+from itertools import combinations
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -69,9 +72,24 @@ def brute_force_topk(
 
 
 def hyperplanes(dim: int, bits: int = 12, seed: int = 42) -> list[list[float]]:
-    """Deterministic random hyperplanes (driver-side, broadcast as literals)."""
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((bits, dim)).tolist()
+    """Deterministic ±1 Rademacher hyperplanes, entry (i, j) derived from
+    md5(f"{seed}:{i}:{j}") (driver-side, broadcast as literals).
+
+    Rademacher entries give the same sign-LSH collision guarantees as
+    Gaussian planes (Achlioptas-style database-friendly projections), and
+    the md5 derivation makes the construction reproducible in ANY engine
+    with an md5 function — the DuckDB oracle rebuilds the identical plane
+    matrix in SQL, so bucket assignment (and hence the whole approximate
+    result) is foreign-checkable, not just recall-pinned."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16) & 1
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(bits)
+    ]
 
 
 # Above this many inlined literals the sign-plane expression tree stops
@@ -150,14 +168,16 @@ def lsh_topk(
         bucket_ids(vec_col, planes).alias("bucket"),
     )
     if multi_probe > 0:
-        if multi_probe > 1:
-            raise NotImplementedError("multi_probe > 1 not implemented")
+        # all XOR masks of Hamming weight ≤ multi_probe: C(bits, ≤d) probe
+        # rows per probe, generated as driver-side literals (bits ≤ 62 so
+        # the mask list is small; the corpus side is untouched)
+        masks = [0] + [
+            sum(1 << i for i in idxs)
+            for d in range(1, min(multi_probe, bits) + 1)
+            for idxs in combinations(range(bits), d)
+        ]
         flips = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(bits)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
         )
         p = p.withColumn("bucket", F.explode(flips))
     scored = (
@@ -198,6 +218,8 @@ def ivf_centroids(
         .limit(sample_cap)
         .collect()
     )
+    if not rows:
+        raise ValueError("empty corpus: no rows to train IVF centroids on")
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

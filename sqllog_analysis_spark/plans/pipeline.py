@@ -90,6 +90,9 @@ class PipelineConfig:
     # bound on sink files per (category, dt) directory — also the salt width
     # that spreads a hot sink partition over that many write tasks
     files_per_partition: int = 4
+    # inputs below this many turns skip the salted sink exchange (a second
+    # full-data shuffle tiny inputs cannot amortize); see writers.py
+    salt_min_rows: int = 1_000_000
     conf: dict = field(default_factory=dict)
 
 
@@ -290,7 +293,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     def run_records() -> None:
         t0 = time.perf_counter()
         write_category_sinks(
-            writable, cfg.output_dir, files_per_partition=cfg.files_per_partition
+            writable,
+            cfg.output_dir,
+            files_per_partition=cfg.files_per_partition,
+            # observed input size decides whether the bounded-files exchange
+            # pays for itself (routed rows ≤ input turns, so this hint only
+            # ever skips the salt when the true row count is ALSO small)
+            row_count_hint=n_turns,
+            salt_min_rows=cfg.salt_min_rows,
         )
         lineage = parquet_lineage(os.path.join(cfg.output_dir, "records"))
         commit("records", lineage, sum(p["row_count"] for p in lineage), t0)
@@ -314,7 +324,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         routed_src = (
             spark.read.parquet(rec_dir)
             if parquet_file_count(rec_dir)
-            else g["routed"]  # zero-record edge: empty dir has no schema
+            # zero-record edge (empty dir has no schema): fall back to the
+            # post-contract-split branch, NOT g["routed"] — rows excluded
+            # by sink-write isolation must not reappear in the aggregates
+            else writable
         )
         write_aggregates(
             agg_sink_counts(routed_src),

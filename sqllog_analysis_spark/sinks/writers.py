@@ -35,12 +35,25 @@ from sqllog_analysis_spark.operators.skew import salted_repartition
 from sqllog_analysis_spark.sinks.iceberg_probe import sink_format
 
 
+# every routed record carries these error-path columns as all-NULL (the
+# router filters errors out) — drop them before the sink exchange so they
+# ride neither the shuffle nor the sink files
+_ERROR_PATH_COLS = ("error", "error_class", "error_line", "raw")
+
+# below this many rows the salted exchange costs more than the file-count
+# explosion it prevents: a tiny input writes few files from ANY layout, so
+# skip the second shuffle and write straight from the incoming partitioning
+SALT_MIN_ROWS = 1_000_000
+
+
 def write_category_sinks(
     routed: DataFrame,
     out_dir: str,
     fmt: str | None = None,
     files_per_partition: int = 4,
     iceberg_table: str | None = None,
+    row_count_hint: int | None = None,
+    salt_min_rows: int = SALT_MIN_ROWS,
 ) -> None:
     """One pass, partitioned fan-out: <out_dir>/records/category=<c>/dt=<d>/.
 
@@ -53,22 +66,26 @@ def write_category_sinks(
     ``fmt=None`` asks the runtime probe; 'iceberg' writes via the V2
     ``writeTo`` API into ``iceberg_table`` (snapshot-atomic replace),
     'parquet' writes the directory layout above.
+
+    ``row_count_hint`` (e.g. the pipeline's observed input count) makes the
+    bounded-files exchange ADAPTIVE: below ``salt_min_rows`` the salted
+    repartition is skipped — a small input cannot amortize a second
+    full-data shuffle, and its worst-case file count (tasks × combos) is
+    small anyway.  With no hint the exchange always runs (the safe default
+    for the 100 TB case).
     """
     if fmt is None:
         fmt = sink_format(routed.sparkSession)
-    out = (
-        routed.withColumn("dt", F.to_date("ts"))
+    out = routed.drop(*_ERROR_PATH_COLS).withColumn("dt", F.to_date("ts"))
+    if row_count_hint is None or row_count_hint >= salt_min_rows:
         # bounded-files / bounded-task-size exchange (see module docstring)
-        .transform(
-            lambda df: salted_repartition(
-                df, ["category", "dt"], salt_buckets=files_per_partition
-            )
+        out = salted_repartition(
+            out, ["category", "dt"], salt_buckets=files_per_partition
         )
-        # partition columns lead the sort so the file writer's required
-        # ordering (category, dt) is already satisfied and it does NOT
-        # inject its own sort on top (which would discard ours)
-        .sortWithinPartitions("category", "dt", "session", "thread", "trx_id")
-    )
+    # partition columns lead the sort so the file writer's required
+    # ordering (category, dt) is already satisfied and it does NOT
+    # inject its own sort on top (which would discard ours)
+    out = out.sortWithinPartitions("category", "dt", "session", "thread", "trx_id")
     if fmt == "iceberg":
         (
             out.writeTo(iceberg_table or "sinks.records")
@@ -132,8 +149,10 @@ def export_table(
             if f == "csv"
             else sample.select(F.to_json(F.struct(*df.columns)).alias("s"))
         )
+        # octet_length, not length: the estimate must count UTF-8 BYTES
+        # (multibyte text is 2-3x its character count on disk)
         stats = ser.agg(
-            F.avg(F.length("s")).alias("avg_len"), F.count("*").alias("n")
+            F.avg(F.octet_length("s")).alias("avg_len"), F.count("*").alias("n")
         ).collect()[0]
         if stats["n"]:
             per_row = float(stats["avg_len"]) + 1  # + newline

@@ -81,7 +81,8 @@ def streaming_conv_sessions(
     )
     state_schema = T.StructType(
         [
-            T.StructField("n_turns", T.LongType()),
+            T.StructField("min_turn", T.LongType()),
+            T.StructField("max_turn", T.LongType()),
             T.StructField("n_records", T.LongType()),
             T.StructField("n_errors", T.LongType()),
             T.StructField("first_ms", T.LongType()),
@@ -92,12 +93,16 @@ def streaming_conv_sessions(
     def close_sessions(key, pdfs, state: GroupState):
         (conv_id,) = key
         if state.hasTimedOut:
-            n_turns, n_rec, n_err, first_ms, last_ms = state.get
+            min_turn, max_turn, n_rec, n_err, first_ms, last_ms = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "conv_id": [conv_id],
-                    "n_turns": [n_turns],
+                    # turn ids are contiguous per conversation, so the id
+                    # RANGE counts turns exactly even when one turn's rows
+                    # span micro-batches (a per-batch nunique sum would
+                    # count such a turn more than once)
+                    "n_turns": [max_turn - min_turn + 1],
                     "n_records": [n_rec],
                     "n_errors": [n_err],
                     "first_ts": [pd.Timestamp(first_ms, unit="ms")],
@@ -106,10 +111,13 @@ def streaming_conv_sessions(
                 }
             )
             return
-        n_turns = n_rec = n_err = 0
+        n_rec = n_err = 0
+        min_turn = max_turn = None
         first_ms = last_ms = None
         for pdf in pdfs:  # vectorized per Arrow batch, no per-row python
-            n_turns += int(pdf["turn_idx"].nunique())
+            lo, hi = int(pdf["turn_idx"].min()), int(pdf["turn_idx"].max())
+            min_turn = lo if min_turn is None else min(min_turn, lo)
+            max_turn = hi if max_turn is None else max(max_turn, hi)
             n_rec += int(pdf["occurrence_time"].notna().sum())
             n_err += int(pdf["error"].notna().sum())
             # unit-robust: datetime64[ns] or [us] → epoch ms
@@ -118,19 +126,24 @@ def streaming_conv_sessions(
             )
             first_ms = min(first_ms, int(ts_ms.min())) if first_ms is not None else int(ts_ms.min())
             last_ms = max(last_ms, int(ts_ms.max())) if last_ms is not None else int(ts_ms.max())
-        prev = state.get if state.exists else (0, 0, 0, first_ms, last_ms)
+        prev = (
+            state.get
+            if state.exists
+            else (min_turn, max_turn, 0, 0, first_ms, last_ms)
+        )
         merged = (
-            prev[0] + n_turns,
-            prev[1] + n_rec,
-            prev[2] + n_err,
-            min(prev[3], first_ms),
-            max(prev[4], last_ms),
+            min(prev[0], min_turn),
+            max(prev[1], max_turn),
+            prev[2] + n_rec,
+            prev[3] + n_err,
+            min(prev[4], first_ms),
+            max(prev[5], last_ms),
         )
         state.update(merged)
         # close when event time passes last activity + gap; the timeout must
         # sit beyond the current watermark or Spark rejects it
         state.setTimeoutTimestamp(
-            max(merged[4] + gap_ms, state.getCurrentWatermarkMs() + 1)
+            max(merged[5] + gap_ms, state.getCurrentWatermarkMs() + 1)
         )
         return
         yield  # pragma: no cover — makes this a generator on the update path
