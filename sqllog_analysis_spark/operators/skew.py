@@ -30,14 +30,20 @@ def salted_repartition(
     df: DataFrame,
     keys: list[str | Column],
     salt_buckets: int = 8,
-    salt_on: str = "conv_id",
+    salt_on: str | tuple[str, ...] = "conv_id",
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Repartition on (*keys, salt) so one hot key-combination spreads over
-    ``salt_buckets`` partitions.  The salt is derived from a stable column
-    (default conv_id), so the layout is deterministic across retries —
+    ``salt_buckets`` partitions.  The salt is derived from stable row
+    columns (``salt_on``), so the layout is deterministic across retries —
     required for idempotent resume (a rand() salt would re-deal rows on
     task retry and break speculative-execution consistency).
+
+    ``salt_on`` should be fine-grained enough to split whatever can be hot:
+    salting on conv_id alone spreads a hot (category, day) combo made of
+    many conversations, but funnels a single mega-conversation into one
+    bucket — pass a row-unique column tuple (e.g. conv_id + turn_idx) when
+    per-row spread is wanted (writes need no per-conversation locality).
 
     Per-key aggregates downstream must re-aggregate across salt buckets
     (groupBy does this naturally when the salt is not among its keys);
@@ -46,7 +52,8 @@ def salted_repartition(
     tasks × combos explosion of writing from an unrelated partitioning.
     """
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
-    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
+    salt_src = (salt_on,) if isinstance(salt_on, str) else tuple(salt_on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
     if n_partitions is not None:
         return df.repartition(n_partitions, *cols, salt)
     return df.repartition(*cols, salt)

@@ -90,9 +90,9 @@ class PipelineConfig:
     # bound on sink files per (category, dt) directory — also the salt width
     # that spreads a hot sink partition over that many write tasks
     files_per_partition: int = 4
-    # inputs below this many turns skip the salted sink exchange (a second
-    # full-data shuffle tiny inputs cannot amortize); see writers.py
-    salt_min_rows: int = 1_000_000
+    # inputs below this many turns skip the salted sink exchange; default 0
+    # = never skip (measured free even at 200k turns — see writers.py)
+    salt_min_rows: int = 0
     conf: dict = field(default_factory=dict)
 
 

@@ -40,10 +40,13 @@ from sqllog_analysis_spark.sinks.iceberg_probe import sink_format
 # ride neither the shuffle nor the sink files
 _ERROR_PATH_COLS = ("error", "error_class", "error_line", "raw")
 
-# below this many rows the salted exchange costs more than the file-count
-# explosion it prevents: a tiny input writes few files from ANY layout, so
-# skip the second shuffle and write straight from the incoming partitioning
-SALT_MIN_ROWS = 1_000_000
+# rows below this threshold skip the salted exchange.  Default 0 = never
+# skip: interleaved best-of-3 A/B at 200k turns (round 4, after the
+# error-path column drop shrank the exchanged bytes) measured salted 5.88 s
+# vs skipped 6.14 s — the second shuffle costs NOTHING measurable even at
+# toy scale, so the scale-safe bounded-files layout is unconditional.  The
+# knob remains for latency-sensitive tiny-input runs that prefer one job.
+SALT_MIN_ROWS = 0
 
 
 def write_category_sinks(
@@ -78,9 +81,15 @@ def write_category_sinks(
         fmt = sink_format(routed.sparkSession)
     out = routed.drop(*_ERROR_PATH_COLS).withColumn("dt", F.to_date("ts"))
     if row_count_hint is None or row_count_hint >= salt_min_rows:
-        # bounded-files / bounded-task-size exchange (see module docstring)
+        # bounded-files / bounded-task-size exchange (see module docstring).
+        # Salt on a row-unique tuple: a mega-CONVERSATION spreads over the
+        # bucket width too (the write needs no per-conversation locality),
+        # while retries stay deterministic (content-derived, not rand()).
         out = salted_repartition(
-            out, ["category", "dt"], salt_buckets=files_per_partition
+            out,
+            ["category", "dt"],
+            salt_buckets=files_per_partition,
+            salt_on=("conv_id", "turn_idx", "rec_idx"),
         )
     # partition columns lead the sort so the file writer's required
     # ordering (category, dt) is already satisfied and it does NOT

@@ -89,33 +89,47 @@ def read_segments(path: str, start: int, end: int) -> Iterator[tuple[int, str]]:
     split protocol.  Text keeps the raw line terminators — the parse stage
     treats '\\n' as a terminator (io.rs read_until)."""
     with open(path, "rb") as f:
-        if start > 0:
-            f.seek(start - 1)
-            if f.read(1) != b"\n":
-                f.readline()  # partial line: owned by the previous chunk
-        pos = f.tell()
-        collecting = start == 0  # chunk 0 owns the preamble
-        cur: list[bytes] = []
-        cur_off = 0
-        while True:
-            line_off = pos
-            line = f.readline()
-            if not line:
-                break
-            pos += len(line)
-            if _is_boundary(line):
-                if line_off >= end:
-                    break  # next chunk's segment
-                if collecting and cur:
-                    yield cur_off, b"".join(cur).decode("utf-8", errors="replace")
-                cur, cur_off = [line], line_off
-                collecting = True
-            elif collecting:
-                cur.append(line)  # continuation (may run past `end`)
-            elif line_off >= end:
-                break  # tail of a foreign segment and out of range: done
-        if collecting and cur:
-            yield cur_off, b"".join(cur).decode("utf-8", errors="replace")
+        yield from _segments_from(f, start, end)
+
+
+def segment_bytes(data: bytes) -> Iterator[tuple[int, str]]:
+    """Whole-file variant of :func:`read_segments` over in-memory bytes —
+    the same boundary protocol, byte offsets included, for sources that
+    deliver complete files (the streaming binaryFile reader)."""
+    import io
+
+    yield from _segments_from(io.BytesIO(data), 0, len(data))
+
+
+def _segments_from(f, start: int, end: int) -> Iterator[tuple[int, str]]:
+    """Split protocol over any seekable binary file object (module docstring)."""
+    if start > 0:
+        f.seek(start - 1)
+        if f.read(1) != b"\n":
+            f.readline()  # partial line: owned by the previous chunk
+    pos = f.tell()
+    collecting = start == 0  # chunk 0 owns the preamble
+    cur: list[bytes] = []
+    cur_off = 0
+    while True:
+        line_off = pos
+        line = f.readline()
+        if not line:
+            break
+        pos += len(line)
+        if _is_boundary(line):
+            if line_off >= end:
+                break  # next chunk's segment
+            if collecting and cur:
+                yield cur_off, b"".join(cur).decode("utf-8", errors="replace")
+            cur, cur_off = [line], line_off
+            collecting = True
+        elif collecting:
+            cur.append(line)  # continuation (may run past `end`)
+        elif line_off >= end:
+            break  # tail of a foreign segment and out of range: done
+    if collecting and cur:
+        yield cur_off, b"".join(cur).decode("utf-8", errors="replace")
 
 
 def read_sqllog_dir(

@@ -25,6 +25,68 @@ def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_sqllog_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """Streaming counterpart of sources/logfiles.read_sqllog_dir: a growing
+    directory of ``dmsql_*.log`` files becomes a transcripts-shaped stream
+    (conv_id = file name, turn_idx = segment byte offset, one row per
+    segment).
+
+    Source is Spark's ``binaryFile`` file stream — each NEW file arrives
+    exactly once as (path, modificationTime, content) and is segmented
+    with the SAME byte-level boundary protocol as the batch reader
+    (logfiles.segment_bytes), so routed results on a directory equal the
+    batch pipeline's on the same files.  Whole-file rows bound memory at
+    the log-rotation size (dmsql logs rotate well under the 2 GiB turn_idx
+    limit); the byte-range-splittable batch reader remains the path for
+    oversized backfills.
+    """
+    import os
+
+    import pandas as pd
+
+    from sqllog_analysis_spark.sources.logfiles import segment_bytes
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's fixed schema must be spelled out for streaming use
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        # discovery parity with logfiles.discover_sqllog_files (app.rs:82-102):
+        # dmsql_ prefix, case-insensitive .log extension, non-recursive
+        .option("pathGlobFilter", "dmsql_*.[lL][oO][gG]")
+        .option("recursiveFileLookup", "false")
+        .load(directory)
+        .select("path", "modificationTime", "content")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                data = bytes(t.content) if t.content is not None else b""
+                if not data:
+                    continue  # empty files produce nothing (io.rs:104-107)
+                for off, text in segment_bytes(data):
+                    rows.append(
+                        {
+                            "conv_id": os.path.basename(t.path),
+                            "turn_idx": off,
+                            "role": "log",
+                            "text": text,
+                            "tool": None,
+                            "ts": t.modificationTime,
+                        }
+                    )
+            out = pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+            if len(out):
+                out["turn_idx"] = out["turn_idx"].astype("int32")
+                out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
+            yield out
+
+    return raw.mapInPandas(run, schema=TRANSCRIPT_SCHEMA)
+
+
 def streaming_routed(stream: DataFrame, slow_ms: int = 1000) -> DataFrame:
     """Parse + route a transcript stream (append-mode safe)."""
     return route_records(parse_transcripts(stream), slow_ms=slow_ms)

@@ -175,3 +175,59 @@ def test_stream_to_category_sinks_exactly_once(spark, tmp_path):
         sorted(map(tuple, spark.read.parquet(out + "/records_stream").select(*key).collect()))
         == want_keys
     )
+
+
+@pytest.mark.slow
+def test_streaming_raw_log_ingestion_matches_batch(spark, tmp_path):
+    """Streaming dmsql_*.log mode (readStream binaryFile → segment_bytes →
+    parse → route): a second .log file appended MID-STREAM is picked up,
+    and the routed rows over both files equal the batch pipeline's on the
+    union directory."""
+    from pyspark.sql import functions as F
+
+    from sqllog_analysis_spark.functions.parse import parse_transcripts
+    from sqllog_analysis_spark.operators.routing import route_records
+    from sqllog_analysis_spark.sources.logfiles import read_sqllog_dir
+    from sqllog_analysis_spark.streaming.stream_pipeline import (
+        read_sqllog_stream,
+        streaming_routed,
+    )
+
+    good = (
+        "2025-09-21 12:00:00.000 (EP[1] sess:NULL thrd:1 user:usr trxid:1 stmt:NULL) [SEL]: select *\n"
+        "from users\n"
+        "EXECTIME: 1500(ms) ROWCOUNT: 1 EXEC_ID: 123.\n"
+        "2025-09-21 12:00:01.000 (EP[2] sess:0xabc thrd:2 user:usr trxid:2 stmt:NULL) [UPD]: update t\n"
+    )
+    second = (
+        "2025-09-21 12:00:02.000 (EP[1] sess:NULL thrd:1 user:usr trxid:1 stmt:NULL) [SEL]: ok\n"
+        "TOOL_CALL: lookup(x)\n"
+    )
+    d = tmp_path / "rawlogs"
+    d.mkdir()
+    (d / "dmsql_a.log").write_text(good, encoding="utf-8")
+    (d / "ignored.txt").write_text(good, encoding="utf-8")  # wrong prefix/ext
+
+    q = (
+        streaming_routed(read_sqllog_stream(spark, str(d)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("raw_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    mid = spark.sql("SELECT COUNT(*) AS n FROM raw_stream").collect()[0]["n"]
+    assert mid > 0  # first file already routed
+
+    # second file lands while the stream is running
+    (d / "dmsql_b.LOG").write_text(second, encoding="utf-8")
+    q.processAllAvailable()
+    q.stop()
+
+    key = ["conv_id", "turn_idx", "rec_idx", "category"]
+    got = sorted(map(tuple, spark.table("raw_stream").select(*key).collect()))
+    batch = route_records(parse_transcripts(read_sqllog_dir(spark, str(d))))
+    want = sorted(map(tuple, batch.select(*key).collect()))
+    assert got == want and len(got) > len(
+        sorted(map(tuple, spark.table("raw_stream").limit(mid).collect()))
+    ) - 1

@@ -159,11 +159,74 @@ def test_multimodal_feature_plumbing(spark):
     assert out2[1]["sha256"] == out[1]["sha256"]
 
 
-def test_real_decode_is_explicit_stub():
-    from sqllog_analysis_spark.operators.multimodal import real_decode_stub
+def _make_ppm(w: int = 64, h: int = 48) -> bytes:
+    """Deterministic 64x48 P6 fixture: R ramps with x, G ramps with y, B
+    constant 128 — mean R = mean(0..w-1 scaled), analytic expectations."""
+    x = np.arange(w, dtype=np.float64) * 255 / (w - 1)
+    y = np.arange(h, dtype=np.float64) * 255 / (h - 1)
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.round(x)[None, :]
+    img[..., 1] = np.round(y)[:, None]
+    img[..., 2] = 128
+    return b"P6\n# fixture\n64 48\n255\n" + img.tobytes()
 
-    with pytest.raises(NotImplementedError):
-        real_decode_stub(b"x")
+
+def _make_wav(n: int = 800, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM sine fixture with an exact RIFF container."""
+    t = np.arange(n, dtype=np.float64)
+    samples = (0.5 * np.sin(2 * np.pi * 440 * t / rate) * 32767).astype("<i2")
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")        # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little") # byte rate
+        + (2).to_bytes(2, "little")        # block align
+        + (16).to_bytes(2, "little")       # bits
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_decode_ppm_and_wav():
+    """The dependency-free real decoders: P6 PPM pixel stats and WAV PCM
+    audio stats match analytic expectations; unknown containers raise."""
+    from sqllog_analysis_spark.operators.multimodal import real_decode
+
+    f = real_decode(_make_ppm())
+    assert (f[0], f[1]) == (64, 48)
+    assert f[2] == pytest.approx(0.5, abs=0.01)   # mean R (x ramp)
+    assert f[3] == pytest.approx(0.5, abs=0.01)   # mean G (y ramp)
+    assert f[4] == pytest.approx(128 / 255, abs=0.01)  # constant B
+    assert f[5] > 0  # gray has variance
+
+    a = real_decode(_make_wav())
+    assert (a[0], a[1], a[2]) == (1, 8000, 800)
+    assert a[3] == pytest.approx(0.5 / np.sqrt(2), abs=0.01)  # sine RMS
+    assert a[4] > 0.05  # 440 Hz crosses zero often
+
+    with pytest.raises(ValueError):
+        real_decode(b"GIF89a not supported")
+
+
+def test_real_decode_through_spark_plumbing(spark):
+    """extract_features(decoder=real_decode) runs the real decoders inside
+    the Arrow-batched mapInPandas stage — same plumbing as the fake."""
+    from sqllog_analysis_spark.operators.multimodal import real_decode
+
+    rows = [
+        (1, "image", bytearray(_make_ppm()), "image/x-portable-pixmap", 64, 48, None),
+        (2, "audio", bytearray(_make_wav()), "audio/wav", None, None, 100),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in extract_features(media, decoder=real_decode).collect()
+    }
+    assert out[1]["feature"][0] == 64 and out[1]["feature"][1] == 48
+    assert out[2]["feature"][1] == 8000
+    assert out[1]["n_bytes"] == len(_make_ppm())
 
 
 def test_dup_clusters_components(spark):
@@ -316,5 +379,11 @@ def test_lsh_topk_multi_probe_improves_recall(spark):
     multi = recall(
         SIM.lsh_topk(df, probes, dim=16, k=5, bits=4, multi_probe=1).collect()
     )
+    multi2 = recall(
+        SIM.lsh_topk(df, probes, dim=16, k=5, bits=4, multi_probe=2).collect()
+    )
     assert multi >= single
     assert multi >= 0.8
+    # Hamming-2 probing widens the candidate set further: recall is
+    # monotone in multi_probe
+    assert multi2 >= multi
