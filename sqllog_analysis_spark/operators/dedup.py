@@ -35,17 +35,46 @@ from pyspark.sql import DataFrame, Window, functions as F
 from sqllog_analysis_spark.functions.text import fingerprint
 
 
+def _parse_byte_conf(s: str) -> int:
+    """Spark byte-string conf value ('8m', '128mb', '134217728') → bytes."""
+    s = str(s).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
 def _spread_compact_input(df: DataFrame) -> DataFrame:
     """Hash-signature derivation is CPU-heavy per row, but a compact input
     (one small parquet file) arrives as ONE scan partition — leaving every
     core but one idle (measured: 6.4 s single-task vs sub-second spread,
     sf0.1).  A round-robin repartition of the *input* rows is one tiny
     shuffle that unlocks full parallelism; at real scale the file splits
-    already provide partitions and this is a no-op."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    already provide partitions and this is a no-op.
+
+    Compactness is judged from file metadata (``inputFiles()`` + stat), a
+    pure metadata path — ``df.rdd.getNumPartitions()`` would force a
+    plan→RDD conversion on every signature call.  The scan-partition count
+    is estimated the way Spark's file index splits: per-file
+    ceil(size / maxPartitionBytes).  Non-file inputs (createDataFrame
+    fixtures) report zero files and get spread — right for them; a big
+    multi-file input estimates ≥ n splits and passes through untouched."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
         return df.repartition(n)
-    return df
+    if len(files) >= n:
+        return df
+    from sqllog_analysis_spark.sinks.lineage import _resolve
+
+    mpb = _parse_byte_conf(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    fs, first = _resolve(files[0])
+    roots = [_resolve(f)[1] for f in files]
+    est = sum(-(-max(i.size or 0, 1) // mpb) for i in fs.get_file_info(roots))
+    return df.repartition(n) if est < n else df
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -137,13 +137,22 @@ def _make_text(rng: np.random.Generator, cls: str, ts: pd.Timestamp, tool: str |
     raise AssertionError(cls)
 
 
-def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
-    """Build the corpus as a pandas DataFrame (shuffled row order)."""
+def generate_transcripts(
+    n_turns: int, seed: int = 42, hot_frac: float = 0.0
+) -> pd.DataFrame:
+    """Build the corpus as a pandas DataFrame (shuffled row order).
+
+    ``hot_frac > 0`` plants one MEGA-conversation holding that fraction of
+    all turns, timestamped within a single day — the skew-stress shape
+    (one hot conv_id AND one hot (category, dt) sink partition)."""
     rng = np.random.default_rng(seed)
 
     # Zipf-skewed conversation sizes, capped; a handful of mega-convs
     sizes: list[int] = []
     total = 0
+    if hot_frac > 0:
+        sizes.append(int(n_turns * hot_frac))
+        total = sizes[0]
     while total < n_turns:
         s = min(int(rng.zipf(1.4)), 2000)
         if total + s > n_turns:
@@ -159,7 +168,12 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
         conv_ids.extend([f"conv_{ci:06d}"] * s)
         turn_idx[pos : pos + s] = np.arange(s, dtype=np.int32)
         base = BASE_EPOCH + pd.Timedelta(seconds=int(ci) * 137)
-        incs = np.cumsum(rng.integers(1, 90, size=s))
+        if ci == 0 and hot_frac > 0:
+            # the planted mega-conversation stays inside ONE calendar day
+            # so its sink partition (category, dt) is hot too
+            incs = (np.arange(s, dtype=np.int64) * 86000) // max(s, 1)
+        else:
+            incs = np.cumsum(rng.integers(1, 90, size=s))
         ts_vals[pos : pos + s] = (base.to_datetime64() + incs * np.timedelta64(1, "s"))
         pos += s
 
@@ -170,6 +184,8 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
     # ~0.5% of conversations are fully degenerate (no valid line at all)
     n_convs = len(sizes)
     degen = set(rng.choice(n_convs, size=max(1, n_convs // 200), replace=False).tolist())
+    if hot_frac > 0:
+        degen.discard(0)  # the planted hot conversation must route records
 
     texts: list[str] = []
     for i in range(n_turns):
@@ -200,6 +216,7 @@ def write_transcripts(
     seed: int = 42,
     row_group_size: int = 50_000,
     shards: int = 1,
+    hot_frac: float = 0.0,
 ) -> str:
     """Write the corpus to parquet (pyarrow, no Spark needed) → path.
 
@@ -214,7 +231,7 @@ def write_transcripts(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    df = generate_transcripts(n_turns, seed)
+    df = generate_transcripts(n_turns, seed, hot_frac=hot_frac)
     if shards <= 1:
         pq.write_table(
             pa.Table.from_pandas(df, preserve_index=False), path, row_group_size=row_group_size

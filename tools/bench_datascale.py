@@ -24,6 +24,93 @@ SIZES = [int(x) for x in os.environ.get("DATASCALE_SIZES", "200000,1000000,20000
 SAMPLES = int(os.environ.get("DATASCALE_SAMPLES", "3"))
 
 
+def skew_stress(spark, base: str, n: int = 2_000_000, hot_frac: float = 0.1) -> str:
+    """Planted mega-conversation (hot_frac of all turns, one conv_id, one
+    calendar day): wall time vs the uniform corpus of the same size, plus
+    per-stage max/median task-duration ratios (UI REST taskSummary) — the
+    salted sink exchange's bounded-task promise as measured numbers."""
+    import urllib.request
+
+    from sqllog_analysis_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from sqllog_analysis_spark.sources.transcripts import write_transcripts
+
+    sc = spark.sparkContext
+    if not sc.uiWebUrl:
+        return "\n(skew stress skipped: Spark UI disabled, no task metrics)\n"
+
+    paths = {}
+    for tag, hf in (("uniform", 0.0), ("hot", hot_frac)):
+        suffix = "" if hf == 0 else f"_hot{int(hf * 100)}"
+        p = os.path.join(REPO, ".data", f"transcripts_scale_{n}_sh32{suffix}.parquet")
+        if not os.path.exists(p):
+            write_transcripts(p, n, seed=42, shards=32, hot_frac=hf)
+        paths[tag] = p
+
+    def one(tag: str, i: int) -> float:
+        out = f"{base}_skew_{tag}_{i}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_pipeline(spark, PipelineConfig(input_path=paths[tag], output_dir=out,
+                                           resume=False, target_partitions=128))
+        shutil.rmtree(out, ignore_errors=True)
+        return time.perf_counter() - t0
+
+    walls = {"uniform": float("inf"), "hot": float("inf")}
+    for i in range(2):  # interleaved (host-stall protocol)
+        for tag in walls:
+            walls[tag] = min(walls[tag], one(tag, i))
+
+    # task-duration skew of the hot run's heaviest completed stages
+    api = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+    stages = json.load(urllib.request.urlopen(f"{api}/stages?status=complete"))
+    ratios = []
+    for s in sorted(stages, key=lambda s: -(s.get("executorRunTime") or 0))[:8]:
+        if (s.get("numCompleteTasks") or 0) < 16:
+            continue
+        try:
+            q = json.load(urllib.request.urlopen(
+                f"{api}/stages/{s['stageId']}/{s['attemptId']}/taskSummary?quantiles=0.5,1.0"
+            ))
+            med, mx = q["executorRunTime"]
+            if med > 100:  # ignore trivial stages (metrics noise)
+                ratios.append((s["stageId"], med, mx, mx / med))
+        except Exception:
+            continue
+    worst = max((r[3] for r in ratios), default=float("nan"))
+    rows = "\n".join(
+        f"| {sid} | {med / 1000:.2f} | {mx / 1000:.2f} | {ratio:.2f} |"
+        for sid, med, mx, ratio in ratios
+    )
+    print(json.dumps({"skew_walls": {k: round(v, 2) for k, v in walls.items()},
+                      "worst_task_ratio": round(worst, 2)}))
+    return f"""
+## Skew stress: one conversation = {int(hot_frac * 100)}% of a {n:,}-turn corpus
+
+Same job, same size; the hot corpus plants conv_000000 with
+{int(n * hot_frac):,} turns on a single calendar day — one hot conv_id for
+the ordering exchange AND one hot (category, dt) for the sink exchange.
+The salt is row-content-derived (conv_id, turn_idx, rec_idx), so the
+mega-conversation spreads across the salt width instead of funnelling
+through one write task (operators/skew.py, writers.py).
+
+| corpus | wall sec (best of 2, interleaved) |
+|---|---|
+| uniform | {walls['uniform']:.2f} |
+| hot ({int(hot_frac * 100)}% one conv) | {walls['hot']:.2f} ({walls['hot'] / walls['uniform']:.2f}× uniform) |
+
+Max/median task duration over the hot run's heaviest stages (≥16 tasks,
+median > 0.1 s; UI taskSummary):
+
+| stage | median task s | max task s | max/median |
+|---|---|---|---|
+{rows}
+
+Worst ratio {worst:.2f} — bounded task skew (a conv_id-only salt would
+put ~{int(hot_frac * 100)}% of all rows in ONE task: ratio ≥ {int(hot_frac * 128)}
+at 128 partitions).
+"""
+
+
 def main() -> None:
     from sqllog_analysis_spark.plans.pipeline import PipelineConfig, run_pipeline
     from sqllog_analysis_spark.session import get_spark
@@ -36,7 +123,10 @@ def main() -> None:
         cores=cpus,
         shuffle_partitions=128,
         extra_conf={"spark.sql.adaptive.enabled": "false",
-                    "spark.sql.files.maxPartitionBytes": "8m"},
+                    "spark.sql.files.maxPartitionBytes": "8m",
+                    # UI on: the skew section reads task summaries via REST
+                    "spark.ui.enabled": "true",
+                    "spark.ui.port": "0"},
     )
     base = "/dev/shm/datascale" if os.path.isdir("/dev/shm") else "/tmp/datascale"
 
@@ -73,6 +163,8 @@ def main() -> None:
         f"| {n} | {sec:.2f} | {tps:,.0f} | {tps / base_tps:.2f} |"
         for n, sec, tps in rows
     )
+    skew_md = skew_stress(spark, base) if os.environ.get("DATASCALE_SKEW", "1") == "1" else ""
+
     md = f"""# BENCH/DATASCALE — throughput vs corpus size (fixed local[{cpus}])
 
 Identical job (``run_pipeline``, 128 pinned partitions, AQE off), corpus
@@ -90,7 +182,7 @@ fine-grained uniform hashes (conv_id; category×dt×salt), every join
 against non-corpus data is broadcast, aggregates are map-side partial,
 and no driver-side path touches row data (lineage = parquet footers,
 counts = observe() on the write jobs).  Nothing is super-linear in rows.
-"""
+{skew_md}"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "DATASCALE.md"), "w") as f:
         f.write(md)
