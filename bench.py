@@ -48,7 +48,7 @@ HEADLINE = [
 ]
 
 
-def _time_pipeline(spark, inp: str, workdir: str, samples: int = 2) -> float:
+def _time_pipeline(spark, inp: str, workdir: str, samples: int = 3) -> float:
     """Best of ``samples`` runs — the sandbox host injects one-sided
     multi-second stalls (first post-warm-up full-size runs routinely cost
     2-4x the floor), so the minimum is the machine's real capability;

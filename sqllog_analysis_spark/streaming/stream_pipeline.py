@@ -257,6 +257,64 @@ def stream_to_category_sinks(
     )
 
 
+def stream_sqllog_pipeline(
+    spark: SparkSession,
+    directory: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    slow_ms: int = 1000,
+):
+    """FULL-fidelity continuous ingestion of raw dmsql logs: parse →
+    degenerate-conversation rule → route → records/errors sinks, streaming.
+
+    The transcript-parquet stream (:func:`streaming_routed`) cannot apply
+    the conversation-level degenerate rule — a conversation may span
+    files, so no micro-batch ever knows it has seen all of it.  Raw-log
+    mode has no such problem: conv_id IS the file, and the binaryFile
+    source delivers each file whole, exactly once.  Every micro-batch
+    therefore contains only complete conversations, and running the
+    COMPLETE batch routing graph (degenerate rule, error routing,
+    sink-contract isolation) inside ``foreachBatch`` yields results
+    identical to the batch pipeline over the same files.
+
+    Sinks follow the exactly-once ``ingest_batch=<id>`` overwrite pattern
+    of :func:`stream_to_category_sinks`: a reprocessed batch id replaces
+    its own output, never duplicates it.
+    """
+    import os
+
+    from sqllog_analysis_spark.functions.parse import parse_transcripts
+    from sqllog_analysis_spark.operators.routing import split_sink_contract
+    from sqllog_analysis_spark.plans.pipeline import downstream
+
+    rec_root = os.path.join(out_dir, "records_stream")
+    err_root = os.path.join(out_dir, "errors_stream")
+    segments = read_sqllog_stream(spark, directory)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        g = downstream(bdf.sparkSession, parse_transcripts(bdf), slow_ms=slow_ms)
+        writable, contract_bad = split_sink_contract(g["routed"])
+        (
+            writable.withColumn("dt", F.to_date("ts"))
+            .sortWithinPartitions("category", "dt", "session", "thread", "trx_id")
+            .write.mode("overwrite")
+            .partitionBy("category", "dt")
+            .parquet(os.path.join(rec_root, f"ingest_batch={batch_id}"))
+        )
+        (
+            g["errors"]
+            .unionByName(contract_bad)
+            .write.mode("overwrite")
+            .json(os.path.join(err_root, f"ingest_batch={batch_id}"))
+        )
+
+    return (
+        segments.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, path: str, query_name: str = "routed_counts"
 ):

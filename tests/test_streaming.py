@@ -231,3 +231,57 @@ def test_streaming_raw_log_ingestion_matches_batch(spark, tmp_path):
     assert got == want and len(got) > len(
         sorted(map(tuple, spark.table("raw_stream").limit(mid).collect()))
     ) - 1
+
+
+@pytest.mark.slow
+def test_stream_sqllog_pipeline_full_batch_parity(spark, tmp_path):
+    """Raw-log streaming with the COMPLETE routing graph (degenerate rule +
+    error sink + contract split) per micro-batch: conv_id = file and files
+    arrive whole, so the streamed records AND errors must equal the batch
+    pipeline's over the same directory — including a degenerate file that
+    yields only the synthetic 无有效日志行 error row."""
+    from sqllog_analysis_spark.oracle import NO_VALID_LINE
+    from sqllog_analysis_spark.plans.pipeline import build
+    from sqllog_analysis_spark.sources.logfiles import read_sqllog_dir
+    from sqllog_analysis_spark.streaming.stream_pipeline import stream_sqllog_pipeline
+
+    good = (
+        "2025-09-21 12:00:00.000 (EP[1] sess:NULL thrd:1 user:usr trxid:1 stmt:NULL) [SEL]: select *\n"
+        "EXECTIME: 1500(ms) ROWCOUNT: 1 EXEC_ID: 123.\n"
+    )
+    bad = (
+        "2025-09-21 12:00:02.000 (EP[1] sess:NULL thrd:1 user:usr trxid:1 stmt:NULL) [SEL]: ok\n"
+        "2025-09-21 12:00:03.000 (EP[x] broken header\n"
+    )
+    d = tmp_path / "rawstream"
+    d.mkdir()
+    (d / "dmsql_a.log").write_text(good, encoding="utf-8")
+    (d / "dmsql_junk.log").write_text("no timestamps at all\n", encoding="utf-8")
+    out = str(tmp_path / "spout")
+    ckpt = str(tmp_path / "spckpt")
+
+    q = stream_sqllog_pipeline(spark, str(d), out, ckpt).start()
+    q.processAllAvailable()
+    (d / "dmsql_b.LOG").write_text(bad, encoding="utf-8")  # mid-stream append
+    q.processAllAvailable()
+    q.stop()
+
+    got_rec = sorted(
+        map(tuple, spark.read.parquet(out + "/records_stream")
+            .select("conv_id", "turn_idx", "rec_idx", "category").collect())
+    )
+    got_err = sorted(
+        map(tuple, spark.read.json(out + "/errors_stream")
+            .select("path", "line", "error", "raw").collect())
+    )
+
+    g = build(spark, read_sqllog_dir(spark, str(d)))
+    want_rec = sorted(
+        map(tuple, g["routed"].select("conv_id", "turn_idx", "rec_idx", "category").collect())
+    )
+    want_err = sorted(
+        map(tuple, g["errors"].select("path", "line", "error", "raw").collect())
+    )
+    assert got_rec == want_rec and len(got_rec) > 0
+    assert got_err == want_err
+    assert any(r[3] == NO_VALID_LINE for r in got_err)  # degenerate file routed
