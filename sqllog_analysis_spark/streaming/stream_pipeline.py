@@ -292,10 +292,13 @@ def stream_sqllog_pipeline(
     segments = read_sqllog_stream(spark, directory)
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        from sqllog_analysis_spark.sinks.writers import _ERROR_PATH_COLS
+
         g = downstream(bdf.sparkSession, parse_transcripts(bdf), slow_ms=slow_ms)
         writable, contract_bad = split_sink_contract(g["routed"])
         (
-            writable.withColumn("dt", F.to_date("ts"))
+            writable.drop(*_ERROR_PATH_COLS)  # all-NULL on routed records
+            .withColumn("dt", F.to_date("ts"))
             .sortWithinPartitions("category", "dt", "session", "thread", "trx_id")
             .write.mode("overwrite")
             .partitionBy("category", "dt")
