@@ -412,11 +412,11 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     """Candidate near-dup pairs via banded minhash LSH, md5 hash flavor —
-    bit-identical to the DuckDB oracle (same shingling, same lexicographic
-    minhash over md5 digests, same band keys, same bucket cap).  The
-    murmur3/xxhash64 scale flavors share every line of the algorithm
-    except the hash primitive (operators/dedup.py), and are pinned by
-    pytest (tests/test_training_ops.py)."""
+    bit-identical to the DuckDB oracle (same shingling, same one-md5 →
+    affine-family minhash ints, same band keys, same bucket cap).  The
+    murmur3 scale flavor shares every line of the algorithm except the
+    hash primitive (operators/dedup.py), and is pinned by pytest
+    (tests/test_training_ops.py)."""
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(
         d, n_hashes=16, bands=4, shingle_k=3, max_bucket=200, hash_fn="md5"
@@ -595,20 +595,30 @@ def _shingles_sql(k: int, where: str = "") -> str:
 
 
 def _minhash_lsh_sql(n_hashes: int, bands: int, shingle_k: int, max_bucket: int) -> str:
+    """DuckDB mirror of the md5-flavor minhash: ONE md5 per shingle →
+    60-bit int mod P, then the same affine family (a_i·x + b_i) mod P
+    with constants from dedup.minhash_affine_consts."""
+    from sqllog_analysis_spark.operators.dedup import MINHASH_P, minhash_affine_consts
+
+    consts = minhash_affine_consts(n_hashes)
     r = n_hashes // bands
     mins = ",\n                   ".join(
-        f"min(md5('{i}:' || s)) AS h{i}" for i in range(n_hashes)
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
     )
     band_selects = "\n            UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
             b=b,
-            key=" || '|' || ".join(f"h{b * r + i}" for i in range(r)),
+            key=" || '|' || ".join(f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r)),
         )
         for b in range(bands)
     )
     return f"""
         WITH {_shingles_sql(shingle_k)},
-        ex AS (SELECT doc_id, unnest(gs) AS s FROM sh),
+        ex0 AS (SELECT doc_id, unnest(gs) AS s FROM sh),
+        ex AS (SELECT doc_id,
+                      ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS x
+               FROM ex0),
         sig AS (
             SELECT doc_id,
                    {mins}

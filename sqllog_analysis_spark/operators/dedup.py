@@ -101,14 +101,52 @@ def _shingles(text_col: str, k: int) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+# modulus for the md5-flavor affine hash family (Mersenne prime 2^31-1):
+# products a*x stay < 2^59, safely inside BIGINT in every engine
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_affine_consts(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the md5-flavor universal hash
+    family h_i(x) = (a_i·x + b_i) mod P — derived from md5 so any engine
+    can rebuild them (a_i forced odd/nonzero)."""
+    import hashlib
+
+    def c(tag: str, i: int) -> int:
+        return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:7], 16)
+
+    return [(c("a", i) | 1, c("b", i)) for i in range(n_hashes)]
+
+
 def _minhash_hasher(hash_fn: str):
-    """seed → (shingle → hash column).  NB: pyspark treats 2-param lambdas
-    as the (element, index) higher-order variant, so the seed must be
-    closed over, not a lambda parameter."""
+    """seed → (shingle-hash → per-seed hash column builder).
+
+    murmur3 (scale flavor): n_hashes independent F.hash(s, seed) passes —
+    JVM murmur is cheap enough that re-hashing per seed wins on plan
+    simplicity.
+
+    md5 (oracle flavor): ONE md5 per shingle → 60-bit int → affine family
+    (a_i·x + b_i) mod 2^31-1 (classic universal hashing).  Round 4: this
+    replaced per-seed md5(concat(seed, s)) — 16 md5 passes collapsed into
+    one plus 16 integer transforms, same DuckDB-reproducibility (the
+    oracle rebuilds the identical ints in SQL).
+
+    NB: pyspark treats 2-param lambdas as the (element, index)
+    higher-order variant, so the seed must be closed over, not a lambda
+    parameter."""
     if hash_fn == "murmur3":
-        return lambda seed: (lambda s: F.hash(s, F.lit(seed)))
+        return None, lambda seed: (lambda s: F.hash(s, F.lit(seed)))
     if hash_fn == "md5":
-        return lambda seed: (lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        base = lambda s: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)
+        )
+        consts = minhash_affine_consts(64)
+
+        def per_seed(seed: int):
+            a, b = consts[seed]
+            return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
+
+        return base, per_seed
     raise ValueError(f"unsupported minhash hash_fn: {hash_fn}")
 
 
@@ -126,14 +164,20 @@ def minhash_signatures(
     Fully NARROW: per row, ``array_min(transform(shingles, s → h(s, i)))``
     — no explode, no shuffle, scales linearly with partitions (the naive
     explode + 64-column groupBy shuffles |docs|×|shingles| rows)."""
-    hasher = _minhash_hasher(hash_fn)
+    base, per_seed = _minhash_hasher(hash_fn)
+    pre = _spread_compact_input(df).select(
+        F.col(id_col), _shingles(text_col, shingle_k).alias("_shingles")
+    )
+    if base is not None:
+        # one expensive hash pass over the shingles, n cheap affine passes
+        pre = pre.select(
+            F.col(id_col), F.transform(F.col("_shingles"), base).alias("_shingles")
+        )
     sigs = [
-        F.array_min(F.transform(F.col("_shingles"), hasher(i))).alias(f"h{i}")
+        F.array_min(F.transform(F.col("_shingles"), per_seed(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return _spread_compact_input(df).select(
-        F.col(id_col), _shingles(text_col, shingle_k).alias("_shingles")
-    ).select(F.col(id_col), *sigs)
+    return pre.select(F.col(id_col), *sigs)
 
 
 def minhash_lsh_pairs(
@@ -161,8 +205,8 @@ def minhash_lsh_pairs(
     def band_key(b: int) -> F.Column:
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         if hash_fn == "md5":
-            # hex digests: concatenation is an exact (injective) band key,
-            # and is reproducible in any SQL engine for the oracle
+            # decimal ints joined with '|': exact (injective) band key,
+            # reproducible in any SQL engine for the oracle
             return F.concat_ws("|", *cols)
         return F.hash(*cols).cast("string")
 
