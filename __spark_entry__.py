@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sqllog_analysis_spark.functions import text as TX  # noqa: E402
 from sqllog_analysis_spark.operators import dedup as DD  # noqa: E402
 from sqllog_analysis_spark.operators import multimodal as MM  # noqa: E402
+from sqllog_analysis_spark.operators import sampling as SMP  # noqa: E402
 from sqllog_analysis_spark.operators import similarity as SIM  # noqa: E402
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -505,6 +506,52 @@ def q_ivf_full_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, probes, k=5, n_centroids=8, nprobe=8)
 
 
+def q_embedding_dup_clusters(spark, sf_dir):
+    """SEMANTIC dedup clusters: connected components over the exact
+    embedding-cosine near-dup pair set (the q_embedding_near_dup pairs) —
+    per-vector (doc_id, cluster_id = min id in component).  Spark side is
+    the iterative min-label propagation; the oracle is a recursive-CTE
+    transitive closure over the identical pair SQL."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .withColumn("v", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(SIM.cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.35)
+        .select("a", "b")
+    )
+    return DD.dup_clusters(pairs).orderBy("doc_id")
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split (90/5/5) with
+    per-split doc and token counts — membership is md5-derived, so any
+    engine recomputes it row-locally (operators/sampling.py)."""
+    d = SMP.hash_split(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_seq_packing(spark, sf_dir):
+    """Contiguous streaming sequence packing into 2048-token bins,
+    windowed per source shard (operators/sampling.py::pack_sequences)."""
+    return SMP.pack_sequences(_t(spark, sf_dir, "documents")).orderBy(
+        "part", "bin_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # The transcript pipeline itself (rows-only: not a pre-registered view)
 # ---------------------------------------------------------------------------
@@ -569,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_full_topk": q_ivf_full_topk,
         "media_features": q_media_features,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
+        "sample_split": q_sample_split,
+        "seq_packing": q_seq_packing,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
         "pipeline_conv_buckets": q_pipeline_conv_buckets,
@@ -1110,6 +1160,56 @@ def oracle_sql() -> dict[str, str]:
         # IVF at full probe is exactly brute force — same oracle
         "ivf_full_topk": _COSINE_TOPK_SQL,
         "lsh_cosine_topk": _lsh_topk_sql(6, 64, 42, 5),
+        "embedding_dup_clusters": """
+            WITH RECURSIVE e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400
+            ), pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE ROUND(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b AS src, a AS dst FROM pairs
+            ), reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+            )
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src ORDER BY doc_id
+        """,
+        "sample_split": """
+            WITH b AS (
+                SELECT CASE WHEN bk < 90 THEN 'train'
+                            WHEN bk < 95 THEN 'val'
+                            ELSE 'test' END AS split,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+                FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bk,
+                             text
+                      FROM documents)
+            )
+            SELECT split, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+            FROM b GROUP BY split ORDER BY split
+        """,
+        "seq_packing": """
+            WITH t AS (
+                SELECT source AS part, doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT part, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT part, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+                   COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM c GROUP BY part, bin_id ORDER BY part, bin_id
+        """,
     }
 
 

@@ -387,3 +387,31 @@ def test_lsh_topk_multi_probe_improves_recall(spark):
     # Hamming-2 probing widens the candidate set further: recall is
     # monotone in multi_probe
     assert multi2 >= multi
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from sqllog_analysis_spark.operators.sampling import hash_split
+
+    df = spark.range(5000).selectExpr("id AS doc_id", "'x' AS text")
+    out = hash_split(df).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in out}
+    assert set(by) == {"train", "val", "test"}
+    # md5 buckets are near-uniform: 90/5/5 within a loose tolerance
+    assert 0.85 < by["train"] / 5000 < 0.95
+    assert by["train"] + by["val"] + by["test"] == 5000
+    # deterministic: same ids → same membership on a re-run
+    again = {r["split"]: r["count"] for r in hash_split(df).groupBy("split").count().collect()}
+    assert again == by
+
+
+def test_pack_sequences_bins_are_contiguous_and_complete(spark):
+    from sqllog_analysis_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "s0", "tok " * 100) for i in range(10)]  # 100 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["bin_id"]: r for r in pack_sequences(df, context_tokens=256).collect()}
+    # 100-token docs, 256-token bins: doc starts at 0,100,200,300,... →
+    # bins 0:{0,100,200}, 1:{300,400}(starts 300,400), ...
+    assert sum(r["n_docs"] for r in out.values()) == 10
+    assert sum(r["n_tokens"] for r in out.values()) == 1000
+    assert out[0]["n_docs"] == 3  # starts 0, 100, 200 < 256
