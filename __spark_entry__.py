@@ -492,6 +492,19 @@ def q_lsh_cosine_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, probes, dim=64, k=5, bits=6)
 
 
+def q_lsh_near_dup(spark, sf_dir):
+    """Whole-corpus embedding near-dup pairs via the LSH SELF-join (the
+    symmetric scale path: both sides big, no broadcast, one bucket
+    shuffle).  Approximate-but-deterministic: the oracle rebuilds the
+    identical buckets, so the result is hash-checked exactly."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return SIM.lsh_near_dup_pairs(
+        emb, dim=64, threshold=0.35, bits=6, seed=42, max_bucket=1000
+    ).orderBy("a", "b")
+
+
 def q_ivf_full_topk(spark, sf_dir):
     """IVF ANN at nprobe == n_centroids: every Voronoi cell is searched, so
     the result must EQUAL exact brute-force cosine top-k — a hash check of
@@ -619,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "sample_split": q_sample_split,
         "seq_packing": q_seq_packing,
+        "lsh_near_dup": q_lsh_near_dup,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
         "pipeline_conv_buckets": q_pipeline_conv_buckets,
@@ -861,14 +875,12 @@ def _pipeline_oracle_sql(n_turns: int = _CONTRACT_N_TURNS) -> dict[str, str]:
     }
 
 
-def _lsh_topk_sql(bits: int, dim: int, seed: int, k: int) -> str:
-    """DuckDB mirror of operators/similarity.py::lsh_topk with the
-    md5-derived Rademacher hyperplanes: identical plane matrix (entry
-    (i, j) sign = low bit of the first hex char of md5('seed:i:j')),
-    identical sign-bit bucket ids, identical exact ranking within the
-    probe's bucket."""
-    return f"""
-        WITH pl AS (
+def _lsh_buckets_cte(bits: int, dim: int, seed: int) -> str:
+    """Shared DuckDB CTE chain rebuilding similarity.py's md5-derived
+    Rademacher plane matrix (entry (i, j) sign = low bit of the first hex
+    char of md5('seed:i:j')) and the sign-bit bucket id of every
+    embedding."""
+    return f"""pl AS (
             SELECT i, j,
                    CASE WHEN ('0x' || substr(md5('{seed}:' || i || ':' || j), 1, 1))::INT & 1 = 1
                         THEN 1.0 ELSE -1.0 END AS e
@@ -884,7 +896,15 @@ def _lsh_topk_sql(bits: int, dim: int, seed: int, k: int) -> str:
             SELECT vec_id,
                    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
             FROM dots GROUP BY vec_id
-        ),
+        )"""
+
+
+def _lsh_topk_sql(bits: int, dim: int, seed: int, k: int) -> str:
+    """DuckDB mirror of operators/similarity.py::lsh_topk: identical
+    buckets (_lsh_buckets_cte), identical exact ranking within the
+    probe's bucket."""
+    return f"""
+        WITH {_lsh_buckets_cte(bits, dim, seed)},
         c AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk USING (vec_id)),
         p AS (SELECT * FROM c WHERE vec_id < 5),
         scored AS (
@@ -901,6 +921,27 @@ def _lsh_topk_sql(bits: int, dim: int, seed: int, k: int) -> str:
         )
         SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _lsh_near_dup_sql(bits: int, dim: int, seed: int, threshold: float, max_bucket: int) -> str:
+    """DuckDB mirror of similarity.py::lsh_near_dup_pairs: identical
+    buckets, identical bucket cap, identical in-bucket cosine filter."""
+    return f"""
+        WITH {_lsh_buckets_cte(bits, dim, seed)},
+        c AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk USING (vec_id)),
+        capped AS (
+            SELECT bucket FROM c GROUP BY bucket HAVING count(*) <= {max_bucket}
+        ),
+        s AS (SELECT c.* FROM c JOIN capped USING (bucket)),
+        pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT DISTINCT a, b, cosine FROM pairs
+        WHERE cosine >= {threshold} ORDER BY a, b
     """
 
 
@@ -1160,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF at full probe is exactly brute force — same oracle
         "ivf_full_topk": _COSINE_TOPK_SQL,
         "lsh_cosine_topk": _lsh_topk_sql(6, 64, 42, 5),
+        "lsh_near_dup": _lsh_near_dup_sql(6, 64, 42, 0.35, 1000),
         "embedding_dup_clusters": """
             WITH RECURSIVE e AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400

@@ -193,6 +193,51 @@ def lsh_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Whole-corpus embedding near-duplicate pairs (a < b, cosine ≥
+    threshold) via a hyperplane-LSH SELF-join — the symmetric large-both-
+    sides case where :func:`lsh_topk`'s broadcast-probes shape does not
+    apply.
+
+    Scale shape mirrors minhash_lsh_pairs: bucket assignment is narrow
+    (sign bits of the md5-derived Rademacher planes), candidates come from
+    ONE shuffle on the bucket key (never all-pairs), and ``max_bucket``
+    caps degenerate buckets with a window count over the self-join's own
+    partitioning (no extra exchange).  Recall follows the sign-LSH
+    guarantee: a pair at cosine c collides with probability
+    (1 - acos(c)/π)^bits; raise recall by unioning several plane seeds.
+    """
+    planes = hyperplanes(dim, bits, seed)
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket_ids(vec_col, planes).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket")
+    small = v.withColumn("_c", F.count("*").over(w)).filter(
+        F.col("_c") <= max_bucket
+    ).drop("_c")
+    a = small.select(F.col("bucket"), F.col("id").alias("a"), F.col("v").alias("va"))
+    b = small.select(F.col("bucket"), F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the other standard scale path next to
 # hyperplane LSH: partition the corpus into Voronoi cells around learned

@@ -415,3 +415,37 @@ def test_pack_sequences_bins_are_contiguous_and_complete(spark):
     assert sum(r["n_docs"] for r in out.values()) == 10
     assert sum(r["n_tokens"] for r in out.values()) == 1000
     assert out[0]["n_docs"] == 3  # starts 0, 100, 200 < 256
+
+
+def test_lsh_near_dup_pairs_recall_and_cap(spark):
+    """Whole-corpus LSH self-join: finds most true near-dup pairs on a
+    clustered corpus (no broadcast side), and max_bucket drops degenerate
+    buckets instead of exploding the join."""
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((10, 16))
+    vecs = [
+        (i, (base[i % 10] + 0.03 * rng.standard_normal(16)).tolist())
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in SIM.lsh_near_dup_pairs(df, dim=16, threshold=0.9, bits=4).collect()
+    }
+    # exact truth: same-cluster pairs sit at cosine ~0.99
+    from itertools import combinations
+
+    X = np.array([v for _, v in vecs])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {
+        (a, b)
+        for a, b in combinations(range(100), 2)
+        if round(float(Xn[a] @ Xn[b]), 6) >= 0.9
+    }
+    assert got <= truth  # no false positives (exact cosine inside buckets)
+    assert len(got) / len(truth) >= 0.5  # sign-LSH recall on tight clusters
+    # a tiny max_bucket drops every bucket (10 clusters x 10 members)
+    assert (
+        SIM.lsh_near_dup_pairs(df, dim=16, threshold=0.9, bits=1, max_bucket=2).count()
+        == 0
+    )
