@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--export", default=None, help="also export routed records as csv|json to <output>/export")
     ap.add_argument("--in-memory", action="store_true", help="ephemeral warehouse: outputs are NOT persisted")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: local[*])")
+    ap.add_argument("--follow", action="store_true",
+                    help="streaming mode (raw input only): continuously ingest "
+                         "new dmsql_*.log files with the full routing graph "
+                         "(exactly-once per-batch sinks); processes everything "
+                         "available, then keeps watching for --follow-seconds")
+    ap.add_argument("--follow-seconds", type=float, default=0.0,
+                    help="with --follow: keep watching the directory this many "
+                         "seconds after draining it (0 = drain and exit)")
     ap.add_argument("--log-dir", default=None,
                     help="enable app logging; dir → dated file inside, path with "
                          "extension → that file (analysis_log.rs:96-124)")
@@ -74,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
             cfg.log_enabled = True
             cfg.log_file = args.log_dir
         validate(cfg)
+        if args.follow and cfg.input_format != "raw":
+            raise ConfigError("--follow 需要 --input-format raw (流式模式仅支持原始日志目录)")
     except ConfigError as e:
         print(f"配置错误: {e}", file=sys.stderr)
         return 2  # config validation exits 2 (config.rs:211, 298-308)
@@ -113,6 +123,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("sqllog_analysis_spark", cores=cfg.cores)
     try:
+        if args.follow:
+            summary = _run_follow(spark, cfg, out_dir, args.follow_seconds)
+            summary["in_memory"] = cfg.in_memory
+            print(json.dumps(summary, ensure_ascii=False))
+            return 0
         summary = run_pipeline(
             spark,
             PipelineConfig(
@@ -149,6 +164,41 @@ def main(argv: list[str] | None = None) -> int:
         if tmp_ctx is not None:
             tmp_ctx.cleanup()
     return 0
+
+
+def _run_follow(spark, cfg, out_dir: str, follow_seconds: float) -> dict:
+    """Streaming raw-log mode: drain the directory, optionally keep
+    watching, and summarize from the written sinks' metadata (parquet
+    footers — no recount job)."""
+    import glob
+    import os
+    import time
+
+    from sqllog_analysis_spark.sinks.lineage import parquet_lineage
+    from sqllog_analysis_spark.streaming.stream_pipeline import stream_sqllog_pipeline
+
+    ckpt = os.path.join(out_dir, "_stream_checkpoint")
+    q = stream_sqllog_pipeline(
+        spark, cfg.input, out_dir, ckpt, slow_ms=cfg.slow_ms
+    ).start()
+    q.processAllAvailable()
+    deadline = time.time() + follow_seconds
+    while time.time() < deadline:
+        time.sleep(min(1.0, max(deadline - time.time(), 0.0)))
+        q.processAllAvailable()
+    q.stop()
+
+    rec_root = os.path.join(out_dir, "records_stream")
+    lineage = parquet_lineage(rec_root) if os.path.isdir(rec_root) else []
+    err_files = glob.glob(os.path.join(out_dir, "errors_stream", "*", "part*"))
+    n_errors = sum(1 for f in err_files for _ in open(f, "rb"))
+    return {
+        "mode": "follow",
+        "records_routed": sum(p["row_count"] for p in lineage),
+        "parse_errors": n_errors,
+        "batches": len(glob.glob(os.path.join(rec_root, "ingest_batch=*"))),
+        "checkpoint": ckpt,
+    }
 
 
 if __name__ == "__main__":

@@ -53,3 +53,33 @@ def test_cli_rejects_bad_input_format(tmp_path):
     p = tmp_path / "c.toml"
     p.write_text("[pipeline]\ninput_format = \"xml\"\n")
     assert main(["--config", str(p)]) == 2
+
+
+def test_cli_follow_requires_raw(tmp_path):
+    rc = main(["--input", "x", "--output", str(tmp_path / "o"), "--follow"])
+    assert rc == 2  # streaming mode is raw-log only
+
+
+def test_cli_follow_streams_raw_dir_and_resumes(spark, tmp_path, capsys):
+    """--follow drains the dmsql_*.log directory through the streaming
+    pipeline (full routing graph, exactly-once batch sinks) and a rerun
+    resumes from the checkpoint without duplicating output."""
+    import json
+
+    from tests.test_logfiles import make_dir
+
+    d = make_dir(tmp_path)
+    out = str(tmp_path / "follow_out")
+    rc = main(["--input", d, "--input-format", "raw", "--output", out, "--follow"])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["mode"] == "follow" and s1["records_routed"] > 0
+    assert s1["parse_errors"] >= 2  # broken header + degenerate file
+    assert os.path.isdir(os.path.join(out, "records_stream"))
+
+    # rerun: checkpoint says everything is processed → no new batches/rows
+    rc = main(["--input", d, "--input-format", "raw", "--output", out, "--follow"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["records_routed"] == s1["records_routed"]
+    assert s2["batches"] == s1["batches"]
