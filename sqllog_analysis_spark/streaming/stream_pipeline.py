@@ -121,8 +121,6 @@ def streaming_conv_sessions(
     exactly one summary row and drops the state — bounded memory at any
     conversation cardinality.
     """
-    import datetime as _dt
-
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
