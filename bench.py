@@ -45,6 +45,9 @@ HEADLINE = [
     "minhash_lsh",
     "simhash",
     "cosine_topk",
+    "lsh_near_dup",
+    "sample_split",
+    "seq_packing",
 ]
 
 
