@@ -47,9 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: local[*])")
     ap.add_argument("--follow", action="store_true",
                     help="streaming mode (raw input only): continuously ingest "
-                         "new dmsql_*.log files with the full routing graph "
+                         "NEW dmsql_*.log files with the full routing graph "
                          "(exactly-once per-batch sinks); processes everything "
-                         "available, then keeps watching for --follow-seconds")
+                         "available, then keeps watching for --follow-seconds. "
+                         "Each file is read once, at first sight — suited to "
+                         "rotated/complete files, not a still-growing file")
     ap.add_argument("--follow-seconds", type=float, default=0.0,
                     help="with --follow: keep watching the directory this many "
                          "seconds after draining it (0 = drain and exit)")
@@ -181,12 +183,14 @@ def _run_follow(spark, cfg, out_dir: str, follow_seconds: float) -> dict:
     q = stream_sqllog_pipeline(
         spark, cfg.input, out_dir, ckpt, slow_ms=cfg.slow_ms
     ).start()
-    q.processAllAvailable()
-    deadline = time.time() + follow_seconds
-    while time.time() < deadline:
-        time.sleep(min(1.0, max(deadline - time.time(), 0.0)))
+    try:
         q.processAllAvailable()
-    q.stop()
+        deadline = time.time() + follow_seconds
+        while time.time() < deadline:
+            time.sleep(min(1.0, max(deadline - time.time(), 0.0)))
+            q.processAllAvailable()
+    finally:
+        q.stop()  # always release the stream thread + checkpoint locks
 
     rec_root = os.path.join(out_dir, "records_stream")
     lineage = parquet_lineage(rec_root) if os.path.isdir(rec_root) else []

@@ -106,16 +106,21 @@ def _shingles(text_col: str, k: int) -> F.Column:
 MINHASH_P = (1 << 31) - 1
 
 
-def minhash_affine_consts(n_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a_i, b_i) pairs for the md5-flavor universal hash
-    family h_i(x) = (a_i·x + b_i) mod P — derived from md5 so any engine
-    can rebuild them (a_i forced odd/nonzero)."""
+def _affine_pair(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for the md5-flavor universal hash family
+    h_i(x) = (a_i·x + b_i) mod P — md5-derived so any engine can rebuild
+    them (a_i forced odd/nonzero).  Computed per seed, so any n_hashes
+    works."""
     import hashlib
 
-    def c(tag: str, i: int) -> int:
+    def c(tag: str) -> int:
         return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:7], 16)
 
-    return [(c("a", i) | 1, c("b", i)) for i in range(n_hashes)]
+    return c("a") | 1, c("b")
+
+
+def minhash_affine_consts(n_hashes: int) -> list[tuple[int, int]]:
+    return [_affine_pair(i) for i in range(n_hashes)]
 
 
 def _minhash_hasher(hash_fn: str):
@@ -140,10 +145,9 @@ def _minhash_hasher(hash_fn: str):
         base = lambda s: F.pmod(  # noqa: E731
             F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)
         )
-        consts = minhash_affine_consts(64)
 
         def per_seed(seed: int):
-            a, b = consts[seed]
+            a, b = _affine_pair(seed)
             return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
 
         return base, per_seed

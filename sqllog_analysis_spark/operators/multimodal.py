@@ -167,6 +167,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     """P6 PPM → feature vector [width, height, mean_r, mean_g, mean_b,
     std_gray] (pixel stats normalized to [0, 1])."""
     w, h, maxval, off = _ppm_header(payload)
+    if not 0 < maxval < 256:
+        # maxval >= 256 means 2-byte samples (legal PPM, unsupported
+        # here); 0 would divide to inf — both must raise, not mis-decode
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 1-byte samples)")
     n = w * h * 3
     px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
     if px.size != n:

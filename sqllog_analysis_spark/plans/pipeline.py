@@ -297,8 +297,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             cfg.output_dir,
             files_per_partition=cfg.files_per_partition,
             # observed input size decides whether the bounded-files exchange
-            # pays for itself (routed rows ≤ input turns, so this hint only
-            # ever skips the salt when the true row count is ALSO small)
+            # pays for itself.  NOTE the hint counts input TURNS; routed
+            # rows can exceed it (a turn may hold several records), so a
+            # nonzero salt_min_rows is a coarse latency knob, not an exact
+            # row bound — the scale-safe default (0 = always exchange)
+            # never consults it
             row_count_hint=n_turns,
             salt_min_rows=cfg.salt_min_rows,
         )

@@ -175,9 +175,12 @@ def read_sqllog_dir(
                             "role": "log",
                             "text": text,
                             "tool": None,
-                            # µs precision: Spark's Arrow timestamps are
-                            # timestamp[us]; raw ns mtimes don't cast safely
-                            "ts": pd.Timestamp(int(t.mtime * 1e6), unit="us"),
+                            # MILLISECOND precision, deliberately: Spark's
+                            # binaryFile streaming source reports file
+                            # mtimes at ms, so the batch reader truncates
+                            # to ms too — streamed and batch rows carry
+                            # identical ts for the same file
+                            "ts": pd.Timestamp(int(t.mtime * 1e3) * 1000, unit="us"),
                         }
                     )
             out = pd.DataFrame(

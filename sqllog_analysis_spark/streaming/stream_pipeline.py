@@ -39,6 +39,13 @@ def read_sqllog_stream(spark: SparkSession, directory: str) -> DataFrame:
     the log-rotation size (dmsql logs rotate well under the 2 GiB turn_idx
     limit); the byte-range-splittable batch reader remains the path for
     oversized backfills.
+
+    File-source contract (standard Spark file-stream semantics): a file is
+    ingested ONCE, at first sight, with the content it has then — suited
+    to rotated/complete log files appearing in the directory, NOT to
+    tailing a file that is still being appended (later appends to an
+    already-seen path are never re-read; batch mode over the same
+    directory would see them).
     """
     import os
 
@@ -141,8 +148,7 @@ def streaming_conv_sessions(
     )
     state_schema = T.StructType(
         [
-            T.StructField("min_turn", T.LongType()),
-            T.StructField("max_turn", T.LongType()),
+            T.StructField("n_turns", T.LongType()),
             T.StructField("n_records", T.LongType()),
             T.StructField("n_errors", T.LongType()),
             T.StructField("first_ms", T.LongType()),
@@ -153,16 +159,21 @@ def streaming_conv_sessions(
     def close_sessions(key, pdfs, state: GroupState):
         (conv_id,) = key
         if state.hasTimedOut:
-            min_turn, max_turn, n_rec, n_err, first_ms, last_ms = state.get
+            n_turns, n_rec, n_err, first_ms, last_ms = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "conv_id": [conv_id],
-                    # turn ids are contiguous per conversation, so the id
-                    # RANGE counts turns exactly even when one turn's rows
-                    # span micro-batches (a per-batch nunique sum would
-                    # count such a turn more than once)
-                    "n_turns": [max_turn - min_turn + 1],
+                    # n_turns = sum of per-micro-batch distinct turn ids.
+                    # EXACT for both stream shapes this engine produces: a
+                    # turn's parsed rows always share the micro-batch,
+                    # because file-source batches are whole files and a
+                    # turn is one input row (transcripts) or one segment of
+                    # one file (raw logs).  A custom source that splits one
+                    # turn's rows across batches would double-count it —
+                    # an id-RANGE formula is no fix (raw-log turn ids are
+                    # byte offsets, not contiguous).
+                    "n_turns": [n_turns],
                     "n_records": [n_rec],
                     "n_errors": [n_err],
                     "first_ts": [pd.Timestamp(first_ms, unit="ms")],
@@ -172,12 +183,12 @@ def streaming_conv_sessions(
             )
             return
         n_rec = n_err = 0
-        min_turn = max_turn = None
         first_ms = last_ms = None
+        turn_ids: set = set()
         for pdf in pdfs:  # vectorized per Arrow batch, no per-row python
-            lo, hi = int(pdf["turn_idx"].min()), int(pdf["turn_idx"].max())
-            min_turn = lo if min_turn is None else min(min_turn, lo)
-            max_turn = hi if max_turn is None else max(max_turn, hi)
+            # distinct across this micro-batch's Arrow chunks (one group's
+            # batch may arrive as several pdfs; dedup within the batch)
+            turn_ids.update(pdf["turn_idx"].unique().tolist())
             n_rec += int(pdf["occurrence_time"].notna().sum())
             n_err += int(pdf["error"].notna().sum())
             # unit-robust: datetime64[ns] or [us] → epoch ms
@@ -186,24 +197,19 @@ def streaming_conv_sessions(
             )
             first_ms = min(first_ms, int(ts_ms.min())) if first_ms is not None else int(ts_ms.min())
             last_ms = max(last_ms, int(ts_ms.max())) if last_ms is not None else int(ts_ms.max())
-        prev = (
-            state.get
-            if state.exists
-            else (min_turn, max_turn, 0, 0, first_ms, last_ms)
-        )
+        prev = state.get if state.exists else (0, 0, 0, first_ms, last_ms)
         merged = (
-            min(prev[0], min_turn),
-            max(prev[1], max_turn),
-            prev[2] + n_rec,
-            prev[3] + n_err,
-            min(prev[4], first_ms),
-            max(prev[5], last_ms),
+            prev[0] + len(turn_ids),
+            prev[1] + n_rec,
+            prev[2] + n_err,
+            min(prev[3], first_ms),
+            max(prev[4], last_ms),
         )
         state.update(merged)
         # close when event time passes last activity + gap; the timeout must
         # sit beyond the current watermark or Spark rejects it
         state.setTimeoutTimestamp(
-            max(merged[5] + gap_ms, state.getCurrentWatermarkMs() + 1)
+            max(merged[4] + gap_ms, state.getCurrentWatermarkMs() + 1)
         )
         return
         yield  # pragma: no cover — makes this a generator on the update path

@@ -60,9 +60,18 @@ def skew_stress(spark, base: str, n: int = 2_000_000, hot_frac: float = 0.1) -> 
         for tag in walls:
             walls[tag] = min(walls[tag], one(tag, i))
 
-    # task-duration skew of the hot run's heaviest completed stages
+    # task-duration skew from ONE dedicated hot run behind a stage-id
+    # watermark, so the table cannot mix in stages of the uniform legs or
+    # the earlier size sweep (they share this application)
     api = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
-    stages = json.load(urllib.request.urlopen(f"{api}/stages?status=complete"))
+    before = json.load(urllib.request.urlopen(f"{api}/stages"))
+    watermark = max((s.get("stageId", -1) for s in before), default=-1)
+    one("hot", "metrics")
+    stages = [
+        s
+        for s in json.load(urllib.request.urlopen(f"{api}/stages?status=complete"))
+        if s.get("stageId", -1) > watermark
+    ]
     ratios = []
     for s in sorted(stages, key=lambda s: -(s.get("executorRunTime") or 0))[:8]:
         if (s.get("numCompleteTasks") or 0) < 16:
@@ -98,8 +107,9 @@ through one write task (operators/skew.py, writers.py).
 | uniform | {walls['uniform']:.2f} |
 | hot ({int(hot_frac * 100)}% one conv) | {walls['hot']:.2f} ({walls['hot'] / walls['uniform']:.2f}× uniform) |
 
-Max/median task duration over the hot run's heaviest stages (≥16 tasks,
-median > 0.1 s; UI taskSummary):
+Max/median task duration over a dedicated hot run's heaviest stages
+(stage-id watermark excludes every other run in the application; ≥16
+tasks, median > 0.1 s; UI taskSummary):
 
 | stage | median task s | max task s | max/median |
 |---|---|---|---|
