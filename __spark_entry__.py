@@ -893,8 +893,11 @@ def _lsh_buckets_cte(bits: int, dim: int, seed: int) -> str:
             FROM v, pl GROUP BY v.vec_id, pl.i
         ),
         bk AS (
+            -- ROUND(d, 9) mirrors similarity.py::bucket_ids: both engines
+            -- pin the FP sign boundary identically, so a dot within float
+            -- rounding of zero cannot flip a bucket bit between them
             SELECT vec_id,
-                   CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
+                   CAST(SUM(CASE WHEN ROUND(d, 9) > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
             FROM dots GROUP BY vec_id
         )"""
 

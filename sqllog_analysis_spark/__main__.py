@@ -170,14 +170,19 @@ def main(argv: list[str] | None = None) -> int:
 
 def _run_follow(spark, cfg, out_dir: str, follow_seconds: float) -> dict:
     """Streaming raw-log mode: drain the directory, optionally keep
-    watching, and summarize from the written sinks' metadata (parquet
-    footers — no recount job)."""
+    watching, and summarize from the written sinks' metadata only (parquet
+    footers for records, per-batch metric sidecars for errors — the driver
+    never re-reads sink data; a long-lived follow session with millions of
+    parse errors summarizes from a handful of tiny JSON files)."""
     import glob
     import os
     import time
 
     from sqllog_analysis_spark.sinks.lineage import parquet_lineage
-    from sqllog_analysis_spark.streaming.stream_pipeline import stream_sqllog_pipeline
+    from sqllog_analysis_spark.streaming.stream_pipeline import (
+        read_batch_metrics,
+        stream_sqllog_pipeline,
+    )
 
     ckpt = os.path.join(out_dir, "_stream_checkpoint")
     q = stream_sqllog_pipeline(
@@ -194,8 +199,9 @@ def _run_follow(spark, cfg, out_dir: str, follow_seconds: float) -> dict:
 
     rec_root = os.path.join(out_dir, "records_stream")
     lineage = parquet_lineage(rec_root) if os.path.isdir(rec_root) else []
-    err_files = glob.glob(os.path.join(out_dir, "errors_stream", "*", "part*"))
-    n_errors = sum(1 for f in err_files for _ in open(f, "rb"))
+    # sidecars persist across restarts, so a resumed session's summary
+    # still covers batches processed by earlier runs
+    n_errors = sum(m.get("n_errors", 0) for m in read_batch_metrics(out_dir))
     return {
         "mode": "follow",
         "records_routed": sum(p["row_count"] for p in lineage),

@@ -247,9 +247,21 @@ def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.D
     for c in ("execute_time", "rowcount", "execute_id", "error_line"):
         out[c] = out[c].astype("Int64")
     if passthrough:
-        out = out.merge(
-            pdf[["conv_id", "turn_idx", *passthrough]], on=["conv_id", "turn_idx"], how="left"
-        )
+        pt = pdf[["conv_id", "turn_idx", *passthrough]]
+        # the merge assumes (conv_id, turn_idx) is unique in the batch —
+        # the transcripts input contract.  A dirty upstream with duplicate
+        # turn keys would silently FAN OUT every parsed row per duplicate;
+        # fail loudly instead (the reference has no analog: its turn key is
+        # a file byte offset, unique by construction).
+        dup = pt.duplicated(["conv_id", "turn_idx"])
+        if dup.any():
+            k = pt[dup].iloc[0]
+            raise ValueError(
+                "duplicate turn key in transcripts input: "
+                f"(conv_id={k['conv_id']!r}, turn_idx={int(k['turn_idx'])}) — "
+                "(conv_id, turn_idx) must be unique per conversation"
+            )
+        out = out.merge(pt, on=["conv_id", "turn_idx"], how="left")
     return out[out_cols]
 
 

@@ -57,23 +57,33 @@ def _spread_compact_input(df: DataFrame) -> DataFrame:
     Compactness is judged from file metadata (``inputFiles()`` + stat), a
     pure metadata path — ``df.rdd.getNumPartitions()`` would force a
     plan→RDD conversion on every signature call.  The scan-partition count
-    is estimated the way Spark's file index splits: per-file
-    ceil(size / maxPartitionBytes).  Non-file inputs (createDataFrame
+    is estimated the way Spark's FilePartition packing actually works:
+    files are split at maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, padded_total / parallelism)) and the chunks are
+    bin-packed (each file padded by openCostInBytes) into partitions of
+    that size.  MANY SMALL FILES therefore still land in FEW scan
+    partitions — ``len(files)`` is NOT a lower bound on parallelism, so
+    there is no file-count early-out.  Non-file inputs (createDataFrame
     fixtures) report zero files and get spread — right for them; a big
-    multi-file input estimates ≥ n splits and passes through untouched."""
+    multi-file input estimates ≥ n packed partitions and passes through
+    untouched."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
     if not files:
         return df.repartition(n)
-    if len(files) >= n:
-        return df
     from sqllog_analysis_spark.sinks.lineage import _resolve
 
     mpb = _parse_byte_conf(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    fs, first = _resolve(files[0])
+    open_cost = _parse_byte_conf(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    fs, _ = _resolve(files[0])
     roots = [_resolve(f)[1] for f in files]
-    est = sum(-(-max(i.size or 0, 1) // mpb) for i in fs.get_file_info(roots))
+    padded = sum(
+        max(i.size or 0, 1) + open_cost for i in fs.get_file_info(roots)
+    )
+    max_split = min(mpb, max(open_cost, padded // n or 1))
+    est = -(-padded // max_split)  # ceil — underestimates fragmentation,
+    # which errs toward spreading (the safe direction for a CPU-bound stage)
     return df.repartition(n) if est < n else df
 
 
@@ -184,6 +194,39 @@ def minhash_signatures(
     return pre.select(F.col(id_col), *sigs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    hash_fn: str = "murmur3",
+) -> DataFrame:
+    """(id, band, bucket) — each doc's banded-minhash bucket assignments,
+    the shared substrate of :func:`minhash_lsh_pairs` and of bucket-size
+    diagnostics (tools/bench_datascale.py reports how many buckets a
+    planted boilerplate cluster pushes past the cap)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, hash_fn)
+
+    def band_key(b: int) -> F.Column:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            # decimal ints joined with '|': exact (injective) band key,
+            # reproducible in any SQL engine for the oracle
+            return F.concat_ws("|", *cols)
+        return F.hash(*cols).cast("string")
+
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -203,24 +246,9 @@ def minhash_lsh_pairs(
     over (band, bucket): it reuses the exact partitioning the self-join
     needs, so capping adds no extra shuffle.
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, hash_fn)
-
-    def band_key(b: int) -> F.Column:
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if hash_fn == "md5":
-            # decimal ints joined with '|': exact (injective) band key,
-            # reproducible in any SQL engine for the oracle
-            return F.concat_ws("|", *cols)
-        return F.hash(*cols).cast("string")
-
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, n_hashes, bands, shingle_k, hash_fn
+    )
 
     w = Window.partitionBy("band", "bucket")
     small = (
@@ -349,7 +377,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id, cluster_id)
     with cluster_id = the component's minimum doc id.
 
@@ -372,6 +406,10 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter:
     Raises ``RuntimeError`` if the propagation has not converged after
     ``max_iter`` rounds — an unconverged result would silently split one
     true component into several clusters.
+
+    ``stats``, if given, receives ``{"rounds": <rounds run>}`` — the
+    convergence evidence the at-scale bench reports (pointer jumping's
+    O(log diameter) promise as a measured number).
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.unionByName(
@@ -383,7 +421,9 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter:
         .withColumn("label", F.col("node"))
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -417,6 +457,8 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter:
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds; "

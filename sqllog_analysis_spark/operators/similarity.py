@@ -105,6 +105,13 @@ def bucket_ids(vec_col, planes: list[list[float]]):
     Small plane sets inline as JVM column expressions (whole-stage
     codegen); larger ones dispatch to a pandas UDF automatically — same
     buckets, constant plan size at any ``bits``.
+
+    The dot product is rounded to 9 decimals before the sign test: a dot
+    within float rounding of zero could otherwise flip sign between
+    engines that sum in different orders (Spark's sequential fold vs a
+    SQL oracle's GROUP BY SUM), nondeterministically changing a bucket
+    bit.  Rounding pins the boundary identically everywhere; the DuckDB
+    oracle applies the same ROUND before its sign test.
     """
     bits = len(planes)
     if bits > 62:
@@ -116,7 +123,7 @@ def bucket_ids(vec_col, planes: list[list[float]]):
     for i, h in enumerate(planes):
         arr = F.array(*[F.lit(float(v)) for v in h])
         bucket = bucket + F.when(
-            _dot(col, arr) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.round(_dot(col, arr), 9) > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return bucket
 
@@ -130,7 +137,8 @@ def _bucket_ids_udf(planes: list[list[float]]):
     @pandas_udf("long")
     def _buckets(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy())  # (n, dim)
-        signs = (m @ mat.T) > 0  # (n, bits)
+        # same 9-decimal boundary rounding as the column path (bucket_ids)
+        signs = np.round(m @ mat.T, 9) > 0  # (n, bits)
         return pd.Series((signs @ weights).astype(np.int64))
 
     return _buckets
@@ -202,6 +210,7 @@ def lsh_near_dup_pairs(
     max_bucket: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: int = 1,
 ) -> DataFrame:
     """Whole-corpus embedding near-duplicate pairs (a < b, cosine ≥
     threshold) via a hyperplane-LSH SELF-join — the symmetric large-both-
@@ -212,24 +221,41 @@ def lsh_near_dup_pairs(
     (sign bits of the md5-derived Rademacher planes), candidates come from
     ONE shuffle on the bucket key (never all-pairs), and ``max_bucket``
     caps degenerate buckets with a window count over the self-join's own
-    partitioning (no extra exchange).  Recall follows the sign-LSH
-    guarantee: a pair at cosine c collides with probability
-    (1 - acos(c)/π)^bits; raise recall by unioning several plane seeds.
+    partitioning (no extra exchange).
+
+    Recall follows the sign-LSH guarantee: a pair at cosine c collides in
+    one plane set with probability p = (1 - acos(c)/π)^bits.  ``seeds > 1``
+    unions the bucket assignments of that many INDEPENDENT plane sets
+    (seed, seed+1, …) before the self-join, lifting recall to 1-(1-p)^k
+    while multiplying candidate volume only k× (still never all-pairs:
+    the bucket key is (plane-set, bucket), so candidates stay within one
+    plane set's bucket; final ``distinct`` merges pairs found by several
+    sets).  ``seeds=1`` is bit-identical to the pre-``seeds`` behavior.
     """
-    planes = hyperplanes(dim, bits, seed)
-    v = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        bucket_ids(vec_col, planes).alias("bucket"),
-    )
-    w = Window.partitionBy("bucket")
+    if seeds < 1:
+        raise ValueError(f"seeds must be >= 1, got {seeds}")
+    variants = []
+    for s in range(seeds):
+        planes = hyperplanes(dim, bits, seed + s)
+        variants.append(
+            corpus.select(
+                F.lit(s).alias("ls"),
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                bucket_ids(vec_col, planes).alias("bucket"),
+            )
+        )
+    v = variants[0]
+    for extra in variants[1:]:
+        v = v.unionByName(extra)
+    w = Window.partitionBy("ls", "bucket")
     small = v.withColumn("_c", F.count("*").over(w)).filter(
         F.col("_c") <= max_bucket
     ).drop("_c")
-    a = small.select(F.col("bucket"), F.col("id").alias("a"), F.col("v").alias("va"))
-    b = small.select(F.col("bucket"), F.col("id").alias("b"), F.col("v").alias("vb"))
+    a = small.select("ls", "bucket", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = small.select("ls", "bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["ls", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)

@@ -95,7 +95,12 @@ def read_sqllog_stream(spark: SparkSession, directory: str) -> DataFrame:
 
 
 def streaming_routed(stream: DataFrame, slow_ms: int = 1000) -> DataFrame:
-    """Parse + route a transcript stream (append-mode safe)."""
+    """Parse + route a transcript stream (append-mode safe) — the
+    LOW-LATENCY variant: rows route as they arrive, so the
+    conversation-level degenerate rule and error sink (which need the
+    whole conversation) are not applied.  For exact batch parity use
+    :func:`stream_transcript_pipeline`, which buffers conversations to
+    completion first."""
     return route_records(parse_transcripts(stream), slow_ms=slow_ms)
 
 
@@ -285,17 +290,32 @@ def stream_sqllog_pipeline(
     of :func:`stream_to_category_sinks`: a reprocessed batch id replaces
     its own output, never duplicates it.
     """
-    import os
+    segments = read_sqllog_stream(spark, directory)
+    return (
+        segments.writeStream.foreachBatch(_full_graph_batch_writer(out_dir, slow_ms))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
 
-    from sqllog_analysis_spark.functions.parse import parse_transcripts
-    from sqllog_analysis_spark.operators.routing import split_sink_contract
-    from sqllog_analysis_spark.plans.pipeline import downstream
+
+def _full_graph_batch_writer(out_dir: str, slow_ms: int):
+    """foreachBatch body running the COMPLETE batch routing graph
+    (degenerate rule, error routing, sink-contract isolation) on a
+    micro-batch of transcript turns, writing the exactly-once
+    ``ingest_batch=<id>`` sinks.  Correct ONLY when every conversation in
+    the batch is complete — raw-log mode guarantees that per file;
+    transcripts mode gets it from :func:`closed_conversations`."""
+    import os
 
     rec_root = os.path.join(out_dir, "records_stream")
     err_root = os.path.join(out_dir, "errors_stream")
-    segments = read_sqllog_stream(spark, directory)
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
+        from sqllog_analysis_spark.functions.parse import parse_transcripts
+        from sqllog_analysis_spark.operators.routing import split_sink_contract
+        from sqllog_analysis_spark.plans.pipeline import downstream
         from sqllog_analysis_spark.sinks.writers import _ERROR_PATH_COLS
 
         g = downstream(bdf.sparkSession, parse_transcripts(bdf), slow_ms=slow_ms)
@@ -308,18 +328,188 @@ def stream_sqllog_pipeline(
             .partitionBy("category", "dt")
             .parquet(os.path.join(rec_root, f"ingest_batch={batch_id}"))
         )
+        # error-row count rides an observe() on the write job itself —
+        # the follow-mode summary sums these per-batch sidecars instead of
+        # re-reading error file CONTENTS on the driver (JSONL has no
+        # footers, so the count must be captured at write time)
+        obs = Observation()
         (
             g["errors"]
             .unionByName(contract_bad)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .write.mode("overwrite")
             .json(os.path.join(err_root, f"ingest_batch={batch_id}"))
         )
+        _write_batch_metrics(out_dir, batch_id, n_errors=int(obs.get["n"]))
+
+    return write_batch
+
+
+def closed_conversations(
+    transcript_stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Stateful conversation-completion buffer (``applyInPandasWithState``
+    keyed on conv_id): hold every conversation's turns in state until the
+    conversation has gone quiet for ``gap`` of EVENT time, then release
+    ALL of its turns into one micro-batch and drop the state.
+
+    This is what gives the transcripts-mode stream full batch parity: a
+    parquet conversation may span micro-batches, so no single batch can
+    apply the conversation-level degenerate rule (无有效日志行) — but every
+    batch this operator EMITS contains only complete conversations, so the
+    downstream foreachBatch can run the identical batch routing graph.
+
+    Memory bound: state holds open conversations only — the same bound
+    raw-log mode pays per in-flight file.  Late data within the watermark
+    still joins its conversation; a turn later than (close + watermark) is
+    a new conversation instance, the standard watermark trade-off.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+
+    state_schema = T.StructType(
+        [
+            T.StructField("turn_idx", T.ArrayType(T.IntegerType())),
+            T.StructField("role", T.ArrayType(T.StringType())),
+            T.StructField("text", T.ArrayType(T.StringType())),
+            T.StructField("tool", T.ArrayType(T.StringType())),
+            T.StructField("ts_ms", T.ArrayType(T.LongType())),
+            T.StructField("last_ms", T.LongType()),
+        ]
+    )
+
+    def release(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            ti, ro, tx, tl, tm, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pd.Series(list(ti), dtype="int32"),
+                    "role": list(ro),
+                    "text": list(tx),
+                    "tool": list(tl),
+                    "ts": pd.Series(
+                        [pd.Timestamp(int(m), unit="ms") for m in tm]
+                    ).astype("datetime64[us]"),
+                }
+            )
+            return
+        ti, ro, tx, tl, tm = [], [], [], [], []
+        for pdf in pdfs:  # Arrow chunks of this batch's group
+            ti += [int(x) for x in pdf["turn_idx"]]
+            ro += [None if pd.isna(x) else str(x) for x in pdf["role"]]
+            tx += [None if pd.isna(x) else str(x) for x in pdf["text"]]
+            tl += [None if pd.isna(x) else str(x) for x in pdf["tool"]]
+            tm += (
+                pd.to_datetime(pdf["ts"])
+                .values.astype("datetime64[ms]")
+                .astype("int64")
+                .tolist()
+            )
+        if state.exists:
+            p = state.get
+            ti, ro, tx, tl, tm = (
+                list(p[0]) + ti,
+                list(p[1]) + ro,
+                list(p[2]) + tx,
+                list(p[3]) + tl,
+                list(p[4]) + tm,
+            )
+        last = max(tm)
+        state.update((ti, ro, tx, tl, tm, last))
+        # release when event time passes last activity + gap; the timeout
+        # must sit beyond the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(
+            max(last + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — makes this a generator on the update path
+
+    from sqllog_analysis_spark.schema import TRANSCRIPT_SCHEMA as _TS
 
     return (
-        segments.writeStream.foreachBatch(write_batch)
+        transcript_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            release,
+            outputStructType=_TS,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_transcript_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    slow_ms: int = 1000,
+    gap: str = "5 minutes",
+    watermark: str = "10 seconds",
+):
+    """FULL-fidelity continuous ingestion of parquet transcripts: the
+    batch-parity counterpart of :func:`stream_sqllog_pipeline` for the
+    transcripts table input.
+
+    :func:`streaming_routed` stays the low-latency variant (per-turn
+    routing, no conversation-close semantics); this pipeline trades
+    latency (a conversation's rows land only after it has been quiet for
+    ``gap``) for EXACT batch parity: :func:`closed_conversations` buffers
+    turns per conversation in state, and each released micro-batch —
+    complete conversations only — runs the identical batch routing graph
+    (conversation-level degenerate rule, error sink, contract isolation)
+    via the shared :func:`_full_graph_batch_writer`.  A degenerate
+    conversation SPLIT ACROSS micro-batches therefore yields exactly the
+    batch pipeline's single synthetic 无有效日志行 error row, not one per
+    batch.
+    """
+    closed = closed_conversations(
+        read_transcript_stream(spark, input_path), gap=gap, watermark=watermark
+    )
+    return (
+        closed.writeStream.foreachBatch(_full_graph_batch_writer(out_dir, slow_ms))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def _write_batch_metrics(out_dir: str, batch_id: int, **metrics) -> None:
+    """Per-micro-batch metadata sidecar (``_stream_metrics/batch_<id>.json``)
+    — the JSONL-sink analog of parquet footer lineage.  Overwrite per batch
+    id, so a reprocessed batch replaces its own metrics (exactly-once, like
+    the data sinks)."""
+    import json
+    import os
+
+    d = os.path.join(out_dir, "_stream_metrics")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".batch_{batch_id}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"batch_id": batch_id, **metrics}, fh)
+    os.replace(tmp, os.path.join(d, f"batch_{batch_id}.json"))
+
+
+def read_batch_metrics(out_dir: str) -> list[dict]:
+    """All committed per-batch metric sidecars (any order)."""
+    import glob
+    import json
+    import os
+
+    out = []
+    for f in glob.glob(os.path.join(out_dir, "_stream_metrics", "batch_*.json")):
+        with open(f, encoding="utf-8") as fh:
+            out.append(json.load(fh))
+    return out
 
 
 def run_stream_to_memory(

@@ -76,10 +76,15 @@ def test_cli_follow_streams_raw_dir_and_resumes(spark, tmp_path, capsys):
     assert s1["mode"] == "follow" and s1["records_routed"] > 0
     assert s1["parse_errors"] >= 2  # broken header + degenerate file
     assert os.path.isdir(os.path.join(out, "records_stream"))
+    # error counts come from per-batch metric sidecars, not a driver walk
+    # of the error sink's contents
+    assert os.path.isdir(os.path.join(out, "_stream_metrics"))
 
-    # rerun: checkpoint says everything is processed → no new batches/rows
+    # rerun: checkpoint says everything is processed → no new batches/rows,
+    # and the sidecar-summed error count is unchanged (sidecars persist)
     rc = main(["--input", d, "--input-format", "raw", "--output", out, "--follow"])
     assert rc == 0
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["records_routed"] == s1["records_routed"]
     assert s2["batches"] == s1["batches"]
+    assert s2["parse_errors"] == s1["parse_errors"]

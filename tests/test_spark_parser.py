@@ -104,3 +104,15 @@ def test_spark_parse_passthrough_turn_seq(spark):
 def test_empty_input(spark):
     sdf = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
     assert parse_transcripts(sdf).count() == 0
+
+
+def test_duplicate_turn_key_fails_loudly():
+    """The passthrough re-attach merges on (conv_id, turn_idx); a dirty
+    upstream with duplicate turn keys must raise, not silently fan out
+    every parsed row per duplicate (the input contract guarantees
+    uniqueness — this pins the failure mode when it's violated)."""
+    df = generate_transcripts(20, 5)
+    dup = pd.concat([df, df.iloc[[0]]], ignore_index=True)
+    dup["turn_seq"] = range(len(dup))  # any passthrough column arms the merge
+    with pytest.raises(ValueError, match="duplicate turn key"):
+        parse_batch(dup, passthrough=["turn_seq"])

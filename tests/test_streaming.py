@@ -224,7 +224,10 @@ def test_streaming_raw_log_ingestion_matches_batch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    key = ["conv_id", "turn_idx", "rec_idx", "category"]
+    # ts in the key pins the mtime-derived timestamp parity (binaryFile's
+    # modificationTime vs the batch reader's os.stat, both ms-truncated)
+    # and hence dt= sink-partition parity, not just row-set parity
+    key = ["conv_id", "turn_idx", "rec_idx", "category", "ts"]
     got = sorted(map(tuple, spark.table("raw_stream").select(*key).collect()))
     batch = route_records(parse_transcripts(read_sqllog_dir(spark, str(d))))
     want = sorted(map(tuple, batch.select(*key).collect()))
@@ -268,7 +271,7 @@ def test_stream_sqllog_pipeline_full_batch_parity(spark, tmp_path):
 
     got_rec = sorted(
         map(tuple, spark.read.parquet(out + "/records_stream")
-            .select("conv_id", "turn_idx", "rec_idx", "category").collect())
+            .select("conv_id", "turn_idx", "rec_idx", "category", "ts").collect())
     )
     got_err = sorted(
         map(tuple, spark.read.json(out + "/errors_stream")
@@ -276,8 +279,9 @@ def test_stream_sqllog_pipeline_full_batch_parity(spark, tmp_path):
     )
 
     g = build(spark, read_sqllog_dir(spark, str(d)))
+    # ts included: mtime-derived timestamp (and so dt= partition) parity
     want_rec = sorted(
-        map(tuple, g["routed"].select("conv_id", "turn_idx", "rec_idx", "category").collect())
+        map(tuple, g["routed"].select("conv_id", "turn_idx", "rec_idx", "category", "ts").collect())
     )
     want_err = sorted(
         map(tuple, g["errors"].select("path", "line", "error", "raw").collect())
@@ -285,3 +289,115 @@ def test_stream_sqllog_pipeline_full_batch_parity(spark, tmp_path):
     assert got_rec == want_rec and len(got_rec) > 0
     assert got_err == want_err
     assert any(r[3] == NO_VALID_LINE for r in got_err)  # degenerate file routed
+
+
+@pytest.mark.slow
+def test_stream_transcript_pipeline_degenerate_split_across_batches(spark, tmp_path):
+    """Transcripts-mode streaming with FULL batch parity: a degenerate
+    conversation (no valid timestamp line in any turn) split across TWO
+    micro-batches must yield exactly the batch pipeline's error rows —
+    one synthetic 无有效日志行 row, not one per batch, and none of its
+    Format errors — and identical per-category sink counts for the
+    closed conversations."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sqllog_analysis_spark.oracle import NO_VALID_LINE
+    from sqllog_analysis_spark.plans.pipeline import build
+    from sqllog_analysis_spark.schema import TRANSCRIPT_SCHEMA
+    from sqllog_analysis_spark.streaming.stream_pipeline import (
+        stream_transcript_pipeline,
+    )
+
+    t0 = dt.datetime(2025, 9, 16, 0, 0, 0)
+    hdr = "2025-09-16 00:00:00.000 (EP[1] sess:NULL thrd:1 user:u trxid:1 stmt:NULL) [SEL]: q"
+
+    def rows(conv, ts_list, texts, start_idx=0):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": pd.Series(
+                    range(start_idx, start_idx + len(ts_list)), dtype="int32"
+                ),
+                "role": "user",
+                "text": texts,
+                "tool": pd.Series([None] * len(ts_list), dtype="string"),
+                "ts": pd.Series(ts_list).astype("datetime64[us]"),
+            }
+        )
+
+    # conv D is degenerate and SPLIT across the two files/micro-batches;
+    # A and B are normal single-turn conversations
+    b1 = pd.concat(
+        [
+            rows("D", [t0], ["junk line one"]),
+            rows("A", [t0 + dt.timedelta(seconds=5)], [hdr]),
+        ]
+    )
+    b2 = pd.concat(
+        [
+            rows("D", [t0 + dt.timedelta(seconds=10)], ["junk line two"], start_idx=1),
+            rows("B", [t0 + dt.timedelta(seconds=15)], [hdr]),
+        ]
+    )
+    d = tmp_path / "tstream_in"
+    d.mkdir()
+    out = str(tmp_path / "tstream_out")
+    ckpt = str(tmp_path / "tstream_ckpt")
+
+    q = stream_transcript_pipeline(
+        spark, str(d), out, ckpt, gap="5 minutes", watermark="10 seconds"
+    ).start()
+    try:
+        b1.to_parquet(d / "b1.parquet", index=False)
+        q.processAllAvailable()
+        b2.to_parquet(d / "b2.parquet", index=False)
+        q.processAllAvailable()
+        # watermark pushers one hour later: first advances the watermark
+        # past A/B/D's gap, second fires their event-time timeouts
+        rows("P1", [t0 + dt.timedelta(hours=1)], [hdr]).to_parquet(
+            d / "b3.parquet", index=False
+        )
+        q.processAllAvailable()
+        rows("P2", [t0 + dt.timedelta(hours=1, seconds=1)], [hdr]).to_parquet(
+            d / "b4.parquet", index=False
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    convs = {"A", "B", "D"}
+    got_err = sorted(
+        map(tuple, spark.read.json(out + "/errors_stream")
+            .filter(F.col("path").isin(*convs))
+            .select("path", "line", "error", "raw").collect())
+    )
+    got_counts = {
+        r["category"]: r["n"]
+        for r in spark.read.parquet(out + "/records_stream")
+        .filter(F.col("conv_id").isin(*convs))
+        .groupBy("category").agg(F.count("*").alias("n")).collect()
+    }
+
+    # batch reference over the SAME union of A/B/D rows
+    union = pd.concat([b1, b2], ignore_index=True)
+    g = build(
+        spark,
+        spark.createDataFrame(union, schema=TRANSCRIPT_SCHEMA),
+        stable_order=False,
+    )
+    want_err = sorted(
+        map(tuple, g["errors"].select("path", "line", "error", "raw").collect())
+    )
+    want_counts = {
+        r["category"]: r["n"]
+        for r in g["routed"].groupBy("category").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_err == want_err
+    assert got_counts == want_counts and sum(got_counts.values()) == 2  # A + B
+    # exactly ONE synthetic degenerate row for D, despite the batch split
+    assert [e for e in got_err if e[3] == NO_VALID_LINE] == [
+        ("D", 0, f"未知错误: {NO_VALID_LINE}", NO_VALID_LINE)
+    ]

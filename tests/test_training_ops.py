@@ -449,3 +449,96 @@ def test_lsh_near_dup_pairs_recall_and_cap(spark):
         SIM.lsh_near_dup_pairs(df, dim=16, threshold=0.9, bits=1, max_bucket=2).count()
         == 0
     )
+
+
+def test_planted_boilerplate_cluster_collapses_and_caps(spark):
+    """The dedup-at-scale shape (BENCH/DATASCALE.md): a planted near-
+    identical boilerplate cluster (10% of docs, shared template + one
+    per-doc word) must (a) collapse to ONE representative via
+    minhash-LSH + connected components when buckets fit the cap, and
+    (b) respect the max_bucket degree bound when they don't — per-doc
+    pair degree can never exceed bands × (cap - 1), because every
+    surviving (band, bucket) holds ≤ cap docs."""
+    from sqllog_analysis_spark.operators.dedup import (
+        dup_clusters,
+        minhash_band_buckets,
+        minhash_lsh_pairs,
+    )
+    from sqllog_analysis_spark.sources.documents import documents_df
+
+    n, frac = 500, 0.1  # 50 boilerplate docs
+    df = documents_df(spark, n, seed=42, boilerplate_frac=frac)
+
+    pairs = minhash_lsh_pairs(df, max_bucket=200)
+    stats = {}
+    clusters = dup_clusters(pairs, stats=stats)
+    by_cluster = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    # every boilerplate doc lands in doc 0's component; representative = 0
+    assert by_cluster[0] == set(range(50))
+    assert 1 <= stats["rounds"] <= 25
+
+    # with a cap below the boilerplate bucket sizes, buckets get DROPPED:
+    cap = 10
+    over = (
+        minhash_band_buckets(df)
+        .groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > cap)
+        .count()
+    )
+    assert over >= 1  # the planted cluster does flood buckets past the cap
+    capped = minhash_lsh_pairs(df, max_bucket=cap)
+    degrees = (
+        capped.select(F.col("a").alias("d"))
+        .unionAll(capped.select(F.col("b").alias("d")))
+        .groupBy("d")
+        .count()
+    )
+    max_deg = degrees.agg(F.max("count")).first()[0] or 0
+    assert max_deg <= 16 * (cap - 1)  # bands × (cap-1): the hard bound
+    assert capped.count() < pairs.count()  # capping strictly shrinks pairs
+
+
+def test_lsh_near_dup_pairs_multi_seed_recall(spark):
+    """seeds=k unions k independent plane sets: recall is monotone in
+    seeds (1-(1-p)^k per the sign-LSH collision bound), exactness inside
+    buckets still forbids false positives, and seeds=1 — the contract
+    default — is bit-identical to the single-seed behavior."""
+    from itertools import combinations
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 16))
+    vecs = [
+        (i, (base[i % 12] + 0.04 * rng.standard_normal(16)).tolist())
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    X = np.array([v for _, v in vecs])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {
+        (a, b)
+        for a, b in combinations(range(120), 2)
+        if round(float(Xn[a] @ Xn[b]), 6) >= 0.9
+    }
+
+    def pairs(seeds):
+        return {
+            (r["a"], r["b"])
+            for r in SIM.lsh_near_dup_pairs(
+                df, dim=16, threshold=0.9, bits=6, seeds=seeds
+            ).collect()
+        }
+
+    p1, p2, p3 = pairs(1), pairs(2), pairs(3)
+    assert p1 <= p2 <= p3 <= truth  # union only ADDS candidates; still exact
+    assert len(p2) / len(truth) >= len(p1) / len(truth)
+    assert len(p3) > len(p1)  # at bits=6 one plane set misses some pairs
+    # default seeds=1 leaves the contract query unchanged
+    assert {
+        (r["a"], r["b"])
+        for r in SIM.lsh_near_dup_pairs(df, dim=16, threshold=0.9, bits=6).collect()
+    } == p1
+    with pytest.raises(ValueError, match="seeds"):
+        SIM.lsh_near_dup_pairs(df, dim=16, seeds=0)

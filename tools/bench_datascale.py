@@ -121,6 +121,92 @@ at 128 partitions).
 """
 
 
+def dedup_scale(spark, n_docs: int = 2_000_000) -> str:
+    """Dedup/similarity family at corpus scale (VERDICT r4 task 3): the
+    pipeline's DATASCALE story covered run_pipeline only; this leg runs
+    minhash-LSH (murmur3 scale flavor) + connected components on a
+    2M-doc corpus with a planted 5% boilerplate cluster — the max_bucket
+    cap's reason to exist — plus 10% small near-dup clusters (the
+    realistic dedup tail CC actually collapses).  Reports wall, pair
+    counts, capped-bucket counts, and CC rounds-to-convergence."""
+    from pyspark.sql import functions as F
+
+    from sqllog_analysis_spark.operators.dedup import (
+        dup_clusters,
+        minhash_band_buckets,
+        minhash_lsh_pairs,
+    )
+    from sqllog_analysis_spark.sources.documents import write_documents
+
+    cap = 200
+    p = os.path.join(REPO, ".data", f"documents_scale_{n_docs}_b5d10.parquet")
+    if not os.path.exists(p):
+        write_documents(spark, p, n_docs, seed=42, boilerplate_frac=0.05,
+                        dup_frac=0.10, dup_cluster_size=5)
+    docs = spark.read.parquet(p)
+
+    # interleaved min-of-2 per leg (host-stall protocol); pair/cluster
+    # COUNTS are deterministic, so they come from the last sample
+    walls = {"lsh": float("inf"), "cc": float("inf")}
+    n_pairs = n_clusters = rounds = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(docs, max_bucket=cap, hash_fn="murmur3")
+        n_pairs = pairs.count()
+        walls["lsh"] = min(walls["lsh"], time.perf_counter() - t0)
+
+        stats = {}
+        t0 = time.perf_counter()
+        cl = dup_clusters(pairs, stats=stats)
+        n_clusters = cl.select("cluster_id").distinct().count()
+        walls["cc"] = min(walls["cc"], time.perf_counter() - t0)
+        rounds = stats["rounds"]
+
+    # bucket diagnostics: how hard did the planted boilerplate flood the
+    # cap (one extra aggregate over the shared band-bucket substrate)
+    bstats = (
+        minhash_band_buckets(docs)
+        .groupBy("band", "bucket").count()
+        .agg(
+            F.sum(F.when(F.col("count") > cap, 1).otherwise(0)).alias("over"),
+            F.max("count").alias("biggest"),
+        )
+        .first()
+    )
+    print(json.dumps({"dedup_scale": {"n_docs": n_docs, "pairs": n_pairs,
+                                      "clusters": n_clusters, "cc_rounds": rounds,
+                                      "capped_buckets": int(bstats["over"]),
+                                      "walls": {k: round(v, 2) for k, v in walls.items()}}}))
+    uncapped_boiler_pairs = (n_docs // 20) * (n_docs // 20 - 1) // 2
+    return f"""
+## Dedup at corpus scale: minhash-LSH + connected components, {n_docs:,} docs
+
+Corpus (sources/documents.py, Spark-side generation): 5% planted
+boilerplate cluster ({n_docs // 20:,} near-identical docs — the shape that
+would go quadratic without the bucket cap: ~{uncapped_boiler_pairs:.1e}
+candidate pairs from one template), 10% small near-dup clusters of 5
+(the realistic dedup tail), 85% unique. murmur3 scale flavor, 64 hashes,
+16 bands, max_bucket={cap}; best of 2 interleaved samples.
+
+| leg | wall sec | result |
+|---|---|---|
+| minhash_lsh_pairs | {walls['lsh']:.2f} | {n_pairs:,} candidate pairs |
+| dup_clusters (CC) | {walls['cc']:.2f} | {n_clusters:,} clusters, {rounds} rounds to converge |
+
+Bucket cap evidence: {int(bstats['over']):,} (band, bucket) groups
+exceeded the cap (largest {int(bstats['biggest']):,} docs) and were
+dropped before the self-join — the boilerplate cluster's pairs never
+enter the join, so pair volume stays ~{n_pairs:,} instead of
+~{uncapped_boiler_pairs:.1e}.  Per-doc pair degree is hard-bounded by
+bands×(cap-1) = {16 * (cap - 1):,}
+(tests/test_training_ops.py::test_planted_boilerplate_cluster_collapses_and_caps
+pins both the bound and that a cap-fitting planted cluster collapses to
+ONE representative).  CC converged in {rounds} rounds (pointer jumping:
+O(log diameter)), with per-round localCheckpoint keeping the plan
+constant-size.
+"""
+
+
 def main() -> None:
     from sqllog_analysis_spark.plans.pipeline import PipelineConfig, run_pipeline
     from sqllog_analysis_spark.session import get_spark
@@ -174,6 +260,7 @@ def main() -> None:
         for n, sec, tps in rows
     )
     skew_md = skew_stress(spark, base) if os.environ.get("DATASCALE_SKEW", "1") == "1" else ""
+    dedup_md = dedup_scale(spark) if os.environ.get("DATASCALE_DEDUP", "1") == "1" else ""
 
     md = f"""# BENCH/DATASCALE — throughput vs corpus size (fixed local[{cpus}])
 
@@ -192,7 +279,7 @@ fine-grained uniform hashes (conv_id; category×dt×salt), every join
 against non-corpus data is broadcast, aggregates are map-side partial,
 and no driver-side path touches row data (lineage = parquet footers,
 counts = observe() on the write jobs).  Nothing is super-linear in rows.
-{skew_md}"""
+{skew_md}{dedup_md}"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "DATASCALE.md"), "w") as f:
         f.write(md)

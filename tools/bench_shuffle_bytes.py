@@ -42,6 +42,9 @@ spark = get_spark(f"shuffle_{{codec}}", cores=32, shuffle_partitions=128,
                                "spark.sql.files.maxPartitionBytes": "8m",
                                "spark.io.compression.codec": codec,
                                "spark.ui.enabled": "true",
+                               # never evict a stage mid-sweep: a dropped
+                               # stage would silently shrink the byte sum
+                               "spark.ui.retainedStages": "100000",
                                "spark.ui.port": "0"}})
 sc = spark.sparkContext
 work = f"/dev/shm/shufbytes_{{codec}}_{{drop_cols}}_{{os.getpid()}}"
@@ -54,25 +57,29 @@ def one_run(inp, tag):
                                        resume=False, target_partitions=128))
     return time.perf_counter() - t0
 
-def shuffle_bytes():
+def shuffle_bytes(after_stage):
+    # per-run stage-id WATERMARK (not a cumulative diff): sums exactly the
+    # stages this run created, immune to any UI eviction of older stages
     url = f"{{sc.uiWebUrl}}/api/v1/applications/{{sc.applicationId}}/stages?status=complete"
     stages = json.load(urllib.request.urlopen(url))
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return (sum(s.get("shuffleWriteBytes", 0) for s in stages
+                if s.get("stageId", -1) > after_stage),
+            max((s.get("stageId", -1) for s in stages), default=after_stage))
 
 warm = os.path.join(work, "warm.parquet")
 spark.read.parquet(path).limit(20000).write.mode("overwrite").parquet(warm)
 one_run(warm, "warm")
-b0 = shuffle_bytes()
-samples, bytes_per_run = [], []
+_, mark = shuffle_bytes(-1)
+runs = []
 for i in range(2):
-    samples.append(one_run(path, "t"))
-    b1 = shuffle_bytes()
-    bytes_per_run.append(b1 - b0)
-    b0 = b1
+    sec = one_run(path, "t")
+    b, mark = shuffle_bytes(mark)
+    runs.append((sec, b))  # bytes paired with THEIR OWN run's wall time
 shutil.rmtree(work, ignore_errors=True)
-print(json.dumps({{"codec": codec, "drop": drop_cols, "sec": min(samples),
-                   "samples": [round(s, 2) for s in samples],
-                   "shuffle_bytes": min(bytes_per_run)}}))
+best = min(runs)
+print(json.dumps({{"codec": codec, "drop": drop_cols, "sec": best[0],
+                   "samples": [round(s, 2) for s, _ in runs],
+                   "shuffle_bytes": best[1]}}))
 """
 
 
@@ -100,13 +107,11 @@ def main() -> None:
         for codec, drop in legs:  # interleaved vs host stalls
             res = run_leg(codec, drop, path)
             key = (codec, drop)
-            # min over samples INDEPENDENTLY per metric: a stalled round
-            # may still carry the cleanest byte reading
+            # keep the min-WALL run with ITS OWN byte reading (bytes and
+            # wall from different runs would mix measurements)
             prev = best.get(key, {"sec": float("inf"), "shuffle_bytes": float("inf")})
-            best[key] = {
-                "sec": min(res["sec"], prev["sec"]),
-                "shuffle_bytes": min(res["shuffle_bytes"], prev["shuffle_bytes"]),
-            }
+            if res["sec"] < prev["sec"]:
+                best[key] = {"sec": res["sec"], "shuffle_bytes": res["shuffle_bytes"]}
             print(json.dumps({"round": r, "leg": key, **{k: res[k] for k in ("sec", "shuffle_bytes")}}))
 
     rows = "\n".join(
@@ -124,8 +129,9 @@ The 8→32 scaling pair is memory-bus-bound on this VM (BENCH/BASELINE.md
 sweeps), so the software lever is shuffle BYTES, not shuffle count.  Full
 ``run_pipeline`` at {n_turns} turns, local[32], 128 partitions, separate
 JVM per leg, min over {rounds}×2 interleaved samples (host-stall
-protocol).  Bytes are the UI REST sum of shuffleWriteBytes across
-completed stages for one run.
+protocol).  Bytes are the UI REST sum of shuffleWriteBytes over the
+run's OWN stages (per-run stage-id watermark; retainedStages raised so
+no stage is evicted), paired with that same run's wall time.
 
 | codec | error-path columns | wall sec | shuffle MB | turns/sec |
 |---|---|---|---|---|
