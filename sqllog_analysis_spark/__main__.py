@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -46,15 +47,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--in-memory", action="store_true", help="ephemeral warehouse: outputs are NOT persisted")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: local[*])")
     ap.add_argument("--follow", action="store_true",
-                    help="streaming mode (raw input only): continuously ingest "
-                         "NEW dmsql_*.log files with the full routing graph "
-                         "(exactly-once per-batch sinks); processes everything "
-                         "available, then keeps watching for --follow-seconds. "
-                         "Each file is read once, at first sight — suited to "
-                         "rotated/complete files, not a still-growing file")
+                    help="streaming mode: continuously ingest NEW files with "
+                         "the full routing graph (exactly-once per-batch "
+                         "sinks); processes everything available, then keeps "
+                         "watching for --follow-seconds. raw input: each "
+                         "dmsql_*.log file is read once, at first sight — "
+                         "suited to rotated/complete files, not a "
+                         "still-growing file. transcripts input: a DIRECTORY "
+                         "of parquet files; conversations are buffered until "
+                         "quiet for --follow-gap of EVENT time, so results "
+                         "match the batch pipeline exactly — conversations "
+                         "newer than (max seen ts - gap - watermark) stay "
+                         "open until later data arrives")
     ap.add_argument("--follow-seconds", type=float, default=0.0,
                     help="with --follow: keep watching the directory this many "
                          "seconds after draining it (0 = drain and exit)")
+    ap.add_argument("--follow-gap", default="5 minutes",
+                    help="with --follow on transcripts input: a conversation "
+                         "closes after this much EVENT-time quiet (default "
+                         "'5 minutes')")
     ap.add_argument("--log-dir", default=None,
                     help="enable app logging; dir → dated file inside, path with "
                          "extension → that file (analysis_log.rs:96-124)")
@@ -84,8 +95,10 @@ def main(argv: list[str] | None = None) -> int:
             cfg.log_enabled = True
             cfg.log_file = args.log_dir
         validate(cfg)
-        if args.follow and cfg.input_format != "raw":
-            raise ConfigError("--follow 需要 --input-format raw (流式模式仅支持原始日志目录)")
+        if args.follow and cfg.input_format == "transcripts" and cfg.input and not os.path.isdir(cfg.input):
+            raise ConfigError(
+                "--follow 需要目录输入 (transcripts 流式模式监视 parquet 目录)"
+            )
     except ConfigError as e:
         print(f"配置错误: {e}", file=sys.stderr)
         return 2  # config validation exits 2 (config.rs:211, 298-308)
@@ -106,8 +119,6 @@ def main(argv: list[str] | None = None) -> int:
             print(f"日志初始化失败: {e}", file=sys.stderr)
             return 1
 
-    import os
-
     if not os.path.exists(cfg.input):
         print(f"warning: input not found: {cfg.input}", file=sys.stderr)
         return 0  # empty input is a warn-and-return (app.rs:110-113)
@@ -126,7 +137,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("sqllog_analysis_spark", cores=cfg.cores)
     try:
         if args.follow:
-            summary = _run_follow(spark, cfg, out_dir, args.follow_seconds)
+            summary = _run_follow(
+                spark, cfg, out_dir, args.follow_seconds, gap=args.follow_gap
+            )
             summary["in_memory"] = cfg.in_memory
             print(json.dumps(summary, ensure_ascii=False))
             return 0
@@ -168,26 +181,40 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _run_follow(spark, cfg, out_dir: str, follow_seconds: float) -> dict:
-    """Streaming raw-log mode: drain the directory, optionally keep
-    watching, and summarize from the written sinks' metadata only (parquet
-    footers for records, per-batch metric sidecars for errors — the driver
-    never re-reads sink data; a long-lived follow session with millions of
-    parse errors summarizes from a handful of tiny JSON files)."""
+def _run_follow(
+    spark, cfg, out_dir: str, follow_seconds: float, gap: str = "5 minutes"
+) -> dict:
+    """Streaming mode: drain the input, optionally keep watching, and
+    summarize from the written sinks' metadata only (parquet footers for
+    records, per-batch metric sidecars for errors — the driver never
+    re-reads sink data; a long-lived follow session with millions of
+    parse errors summarizes from a handful of tiny JSON files).
+
+    raw input → :func:`stream_sqllog_pipeline` (per-file conversations,
+    complete at first sight); transcripts input →
+    :func:`stream_transcript_pipeline` (stateful conversation-close
+    buffer, full batch parity; conversations quieter than ``gap`` of
+    event time land, newer ones stay open until later data arrives)."""
     import glob
-    import os
     import time
 
     from sqllog_analysis_spark.sinks.lineage import parquet_lineage
     from sqllog_analysis_spark.streaming.stream_pipeline import (
         read_batch_metrics,
         stream_sqllog_pipeline,
+        stream_transcript_pipeline,
     )
 
     ckpt = os.path.join(out_dir, "_stream_checkpoint")
-    q = stream_sqllog_pipeline(
-        spark, cfg.input, out_dir, ckpt, slow_ms=cfg.slow_ms
-    ).start()
+    if cfg.input_format == "raw":
+        writer = stream_sqllog_pipeline(
+            spark, cfg.input, out_dir, ckpt, slow_ms=cfg.slow_ms
+        )
+    else:
+        writer = stream_transcript_pipeline(
+            spark, cfg.input, out_dir, ckpt, slow_ms=cfg.slow_ms, gap=gap
+        )
+    q = writer.start()
     try:
         q.processAllAvailable()
         deadline = time.time() + follow_seconds

@@ -55,9 +55,69 @@ def test_cli_rejects_bad_input_format(tmp_path):
     assert main(["--config", str(p)]) == 2
 
 
-def test_cli_follow_requires_raw(tmp_path):
+def test_cli_follow_transcripts_requires_directory(tmp_path):
+    # transcripts streaming watches a parquet DIRECTORY; a file (or
+    # missing) input is a config error, exit 2
     rc = main(["--input", "x", "--output", str(tmp_path / "o"), "--follow"])
-    assert rc == 2  # streaming mode is raw-log only
+    assert rc == 2
+
+
+def test_cli_follow_transcripts_streams_with_batch_parity(spark, tmp_path, capsys):
+    """--follow on a transcripts parquet directory runs the stateful
+    conversation-close stream: conversations quiet for --follow-gap of
+    event time land in the sinks; trailing ones stay open until later
+    data arrives (and land on a resumed run that brings newer data)."""
+    import datetime as dt
+    import json
+
+    import pandas as pd
+
+    t0 = dt.datetime(2025, 9, 16, 0, 0, 0)
+    hdr = "2025-09-16 00:00:00.000 (EP[1] sess:NULL thrd:1 user:u trxid:1 stmt:NULL) [SEL]: q"
+
+    def conv(cid, ts, text):
+        return pd.DataFrame(
+            {
+                "conv_id": cid,
+                "turn_idx": pd.Series([0], dtype="int32"),
+                "role": "user",
+                "text": [text],
+                "tool": pd.Series([None], dtype="string"),
+                "ts": pd.Series([ts]).astype("datetime64[us]"),
+            }
+        )
+
+    d = tmp_path / "tdir"
+    d.mkdir()
+    pd.concat(
+        [
+            conv("A", t0, hdr),
+            conv("BAD", t0 + dt.timedelta(seconds=1), "   "),  # degenerate
+            # pusher an hour later: advances the watermark past A/BAD's gap
+            conv("P", t0 + dt.timedelta(hours=1), hdr),
+        ]
+    ).to_parquet(d / "b1.parquet", index=False)
+    out = str(tmp_path / "tfollow_out")
+
+    rc = main(["--input", str(d), "--output", out, "--follow",
+               "--follow-gap", "5 minutes", "--follow-seconds", "2"])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["mode"] == "follow"
+    assert s1["records_routed"] == 1  # A closed and routed; P still open
+    assert s1["parse_errors"] == 1  # BAD closed → synthetic degenerate error
+
+    # resume with newer data: P's conversation closes on the second run
+    pd.concat(
+        [conv("Q", t0 + dt.timedelta(hours=2), hdr),
+         conv("R", t0 + dt.timedelta(hours=3), hdr)]
+    ).to_parquet(d / "b2.parquet", index=False)
+    rc = main(["--input", str(d), "--output", out, "--follow",
+               "--follow-gap", "5 minutes", "--follow-seconds", "2"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["records_routed"] >= 2  # A + P (Q/R may still be open)
+    assert s2["parse_errors"] == s1["parse_errors"]
 
 
 def test_cli_follow_streams_raw_dir_and_resumes(spark, tmp_path, capsys):
