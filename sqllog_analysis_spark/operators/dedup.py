@@ -412,9 +412,16 @@ def dup_clusters(
     O(log diameter) promise as a measured number).
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        # materialize ONCE: edges are re-joined every round, and leaving
+        # them lazy re-evaluates the whole upstream pair generator (e.g.
+        # the full corpus minhash) per round — the 2M-doc DATASCALE bench
+        # caught CC paying the LSH cost x2 per round (BENCH/DATASCALE.md).
+        # Same durability note as the per-round checkpoint below.
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
