@@ -431,6 +431,18 @@ def q_simhash(spark, sf_dir):
     return DD.simhash(d, bits=60, hash_fn="md5").orderBy("doc_id")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs (pigeonhole banding: 10 bands of 6
+    bits over the 60-bit md5 signature guarantees full recall at Hamming
+    radius ≤ 9; pairs filtered to ≤ 6), hash-checked against a DuckDB
+    oracle that replays the banding, the bucket cap, and the popcount
+    filter in SQL."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return DD.simhash_near_dup_pairs(
+        d, bits=60, bands=10, hamming=6, max_bucket=200, hash_fn="md5"
+    ).orderBy("a", "b")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs ≥ 0.5 among first 300 docs."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -625,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_full_topk": q_ivf_full_topk,
@@ -783,6 +796,60 @@ def _simhash_sql(bits: int, where: str) -> str:
         )
         SELECT doc_id, ({sig})::BIGINT AS simhash
         FROM votes ORDER BY doc_id
+    """
+
+
+def _simhash_pairs_sql(
+    bits: int, bands: int, hamming: int, max_bucket: int, where: str
+) -> str:
+    """SQL replay of simhash_near_dup_pairs (md5 flavor): signature CTEs as
+    in _simhash_sql, then pigeonhole banding, the per-(band, chunk) window
+    cap, the self-join, and the popcount radius filter.  md5 signatures
+    are ≤60 bits and non-negative, so plain ``>>`` matches Spark's
+    shiftrightunsigned."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+            FROM documents {where}
+        ),
+        h AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS v FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM h GROUP BY doc_id
+        ),
+        sigs AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM votes),
+        banded AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (band * {width})) & {mask} AS chunk
+            FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS band)
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT banded.*,
+                       count(*) OVER (PARTITION BY band, chunk) AS c
+                FROM banded
+            ) WHERE c <= {max_bucket}
+        )
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+        FROM capped x JOIN capped y ON x.band = y.band AND x.chunk = y.chunk
+        WHERE x.doc_id < y.doc_id
+          AND bit_count(xor(x.simhash, y.simhash)) <= {hamming}
+        ORDER BY a, b
     """
 
 
@@ -975,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _dup_clusters_sql(16, 4, 3, 200),
         "winnow_fingerprint": _winnow_sql(5, 4, 16, "WHERE doc_id < 100"),
         "simhash": _simhash_sql(60, "WHERE doc_id < 200"),
+        "simhash_pairs": _simhash_pairs_sql(60, 10, 6, 200, "WHERE doc_id < 400"),
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5, 1000, "WHERE doc_id < 300"),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -332,6 +332,74 @@ def simhash(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    bands: int = 4,
+    hamming: int = 3,
+    max_bucket: int = 1000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, popcount(sig_a XOR sig_b) ≤ hamming)
+    via a banded SimHash self-join.
+
+    Standard pigeonhole banding: split the ``bits``-bit signature into
+    ``bands`` contiguous chunks.  A pair within ``hamming`` bit flips
+    differs in at most ``hamming`` chunks, so with ``hamming < bands`` it
+    matches EXACTLY on at least one chunk — candidates come from ONE
+    shuffle on (band, chunk) with FULL recall at the stated radius, never
+    all-pairs.  ``max_bucket`` caps degenerate chunks (e.g. empty docs all
+    hash to signature 0) with a window count over the self-join's own
+    partitioning, exactly like :func:`minhash_lsh_pairs`.
+
+    ``md5`` signatures are ≤60 bits and non-negative, so the chunk
+    extraction (unsigned shift + mask) is reproducible in any SQL engine
+    with plain ``>>`` — the driver contract hash-checks the md5 flavor
+    against a DuckDB oracle; ``xxhash64`` is the 100 TB scale flavor.
+    """
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+    if not 0 < bands <= bits or bits % bands:
+        raise ValueError(f"bands must divide bits: bits={bits} bands={bands}")
+    if hamming >= bands:
+        raise ValueError(
+            f"full recall needs hamming < bands (pigeonhole), got "
+            f"hamming={hamming} bands={bands}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(mask)
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("band", "chunk")
+    )
+    w = Window.partitionBy("band", "chunk")
+    small = (
+        banded.withColumn("_c", F.count("*").over(w))
+        .filter(F.col("_c") <= max_bucket)
+        .drop("_c")
+    )
+    a = small.select("band", "chunk", F.col(id_col).alias("a"), F.col("simhash").alias("_sa"))
+    b = small.select("band", "chunk", F.col(id_col).alias("b"), F.col("simhash").alias("_sb"))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -148,3 +148,58 @@ def test_cli_follow_streams_raw_dir_and_resumes(spark, tmp_path, capsys):
     assert s2["records_routed"] == s1["records_routed"]
     assert s2["batches"] == s1["batches"]
     assert s2["parse_errors"] == s1["parse_errors"]
+
+
+def test_dedup_cli_minhash_end_to_end(spark, tmp_path, capsys):
+    """dedup_cli: pairs → clusters → deduped corpus, one JSON summary."""
+    import json
+
+    from sqllog_analysis_spark.dedup_cli import main as dedup_main
+
+    inp = str(tmp_path / "docs.parquet")
+    near = "the quick brown fox jumps over the lazy dog "
+    rows = [(i, near + f"extra {i % 2}") for i in range(6)] + [
+        (10, "completely unrelated text about spark shuffle exchanges"),
+        (11, "another singleton document with its own words entirely"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+
+    out = str(tmp_path / "dd")
+    rc = dedup_main(["--input", inp, "--output", out, "--method", "minhash",
+                     "--bands", "8", "--n-hashes", "16", "--shingle-k", "3"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["docs"] == 8
+    # the 6 near-identical docs collapse to one representative; the two
+    # singletons pass through the anti-join untouched
+    assert s["dup_clusters"] >= 1
+    assert s["docs_kept"] == s["docs"] - s["removed"] <= 3
+    deduped = spark.read.parquet(os.path.join(out, "deduped"))
+    kept_ids = {r["doc_id"] for r in deduped.collect()}
+    assert {10, 11} <= kept_ids
+    assert 0 in kept_ids  # min-id representative of the near-dup cluster
+    clusters = spark.read.parquet(os.path.join(out, "clusters"))
+    assert clusters.filter("cluster_id = 0").count() >= 5
+
+
+def test_dedup_cli_exact_and_missing_input(spark, tmp_path, capsys):
+    import json
+
+    from sqllog_analysis_spark.dedup_cli import main as dedup_main
+
+    assert dedup_main(["--input", str(tmp_path / "nope"), "--output",
+                       str(tmp_path / "o"), "--method", "exact"]) == 2
+
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT"), (3, "other")],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    out = str(tmp_path / "dd")
+    rc = dedup_main(["--input", inp, "--output", out, "--method", "exact"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["docs"] == 3 and s["docs_kept"] == 2 and s["removed"] == 1
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(os.path.join(out, "deduped")).collect()}
+    assert kept == {1, 3}

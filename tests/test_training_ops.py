@@ -542,3 +542,36 @@ def test_lsh_near_dup_pairs_multi_seed_recall(spark):
     } == p1
     with pytest.raises(ValueError, match="seeds"):
         SIM.lsh_near_dup_pairs(df, dim=16, seeds=0)
+
+
+def test_simhash_near_dup_pairs(docs):
+    rows = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in DD.simhash_near_dup_pairs(
+            docs, bands=16, hamming=12, max_bucket=100
+        ).collect()
+    }
+    assert rows[(0, 1)] == 0  # exact dups: identical signatures
+    assert (0, 2) in rows and 0 < rows[(0, 2)] <= 12  # near-dup: few flips
+    assert not any(3 in p for p in rows)  # unrelated doc stays unpaired
+    # oracle cross-check: banding recall is total at radius < bands only
+    # for pairs the brute-force Hamming filter admits
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    for (a, b), h in rows.items():
+        assert bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") == h
+
+    with pytest.raises(ValueError, match="hamming < bands"):
+        DD.simhash_near_dup_pairs(docs, bands=4, hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        DD.simhash_near_dup_pairs(docs, bits=64, bands=5)
+
+
+def test_simhash_near_dup_pairs_bucket_cap(spark):
+    # 30 empty docs all hash to signature 0: without the cap that bucket
+    # alone yields C(30,2)=435 pairs; a cap below 30 must drop it entirely
+    empt = spark.createDataFrame(
+        [(i, "") for i in range(30)] + [(100, "regular text here")],
+        "doc_id long, text string",
+    )
+    assert DD.simhash_near_dup_pairs(empt, max_bucket=10).count() == 0
+    assert DD.simhash_near_dup_pairs(empt, max_bucket=64).count() == 435
