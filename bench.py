@@ -44,6 +44,7 @@ HEADLINE = [
     "text_quality",
     "minhash_lsh",
     "simhash",
+    "simhash_pairs",
     "cosine_topk",
     "lsh_near_dup",
     "sample_split",
