@@ -62,11 +62,25 @@ def main(argv: list[str] | None = None) -> int:
                          "simhash/embedding default 1000)")
     ap.add_argument("--no-deduped", action="store_true",
                     help="skip writing <output>/deduped")
+    ap.add_argument("--index", default=None,
+                    help="minhash only: banded-bucket index directory. If it "
+                         "exists, run INCREMENTALLY (pairs touching --input "
+                         "vs the indexed history, never old-vs-old); if not, "
+                         "build it from --input. Signature params live in "
+                         "the index's _params.json")
+    ap.add_argument("--update-index", action="store_true",
+                    help="with --index: append --input's buckets to the "
+                         "index after pairing, so the next increment dedups "
+                         "against this batch too")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores")
     args = ap.parse_args(argv)
 
     if not os.path.exists(args.input):
         print(f"error: input not found: {args.input}", file=sys.stderr)
+        return 2
+    if (args.index or args.update_index) and args.method != "minhash":
+        print("error: --index/--update-index require --method minhash",
+              file=sys.stderr)
         return 2
 
     from pyspark.sql import functions as F
@@ -91,11 +105,17 @@ def main(argv: list[str] | None = None) -> int:
         pairs = None
     else:
         if args.method == "minhash":
-            pairs = DD.minhash_lsh_pairs(
-                docs, idc, args.text_col, n_hashes=args.n_hashes,
-                bands=args.bands or 16, shingle_k=args.shingle_k,
-                max_bucket=args.max_bucket or 200,
-            )
+            if args.index and os.path.exists(args.index):
+                pairs = DD.minhash_lsh_pairs_incremental(
+                    docs, args.index, idc, args.text_col,
+                    max_bucket=args.max_bucket or 200,
+                ).select("a", "b")
+            else:
+                pairs = DD.minhash_lsh_pairs(
+                    docs, idc, args.text_col, n_hashes=args.n_hashes,
+                    bands=args.bands or 16, shingle_k=args.shingle_k,
+                    max_bucket=args.max_bucket or 200,
+                )
         elif args.method == "simhash":
             pairs = DD.simhash_near_dup_pairs(
                 docs, idc, args.text_col, bits=args.bits or 64,
@@ -116,15 +136,35 @@ def main(argv: list[str] | None = None) -> int:
                 max_bucket=args.max_bucket or 1000,
                 id_col=idc, vec_col=args.vec_col,
             )
-        stats: dict = {}
-        clusters = DD.dup_clusters(pairs.select("a", "b"), stats=stats)
-
     os.makedirs(args.output, exist_ok=True)
     if pairs is not None:
+        # stage pairs ONCE, then cluster from the staged parquet: leaving
+        # the pair plan lazy would re-run the whole candidate generator
+        # (minhash/banding/self-join) for the cluster pass too
         pairs.write.mode("overwrite").parquet(os.path.join(args.output, "pairs"))
-        n_pairs = spark.read.parquet(os.path.join(args.output, "pairs")).count()
+        pairs = spark.read.parquet(os.path.join(args.output, "pairs"))
+        n_pairs = pairs.count()
+        clusters = DD.dup_clusters(pairs.select("a", "b"))
     else:
         n_pairs = 0
+
+    if args.index:
+        # AFTER the staged pair write: the incremental pair plan reads the
+        # index lazily, so appending first would pair the batch against
+        # its own buckets twice
+        if not os.path.exists(args.index):
+            DD.write_minhash_index(
+                docs, args.index, idc, args.text_col,
+                n_hashes=args.n_hashes, bands=args.bands or 16,
+                shingle_k=args.shingle_k,
+            )
+        elif args.update_index:
+            # the sidecar's params are the source of truth for appends
+            with open(os.path.join(args.index, "_params.json")) as f:
+                p = json.load(f)
+            DD.write_minhash_index(
+                docs, args.index, idc, args.text_col, mode="append", **p
+            )
     clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
     clusters = spark.read.parquet(os.path.join(args.output, "clusters"))
     n_clusters = clusters.select("cluster_id").distinct().count()

@@ -266,6 +266,117 @@ def minhash_lsh_pairs(
     )
 
 
+_INDEX_PARAMS = ("n_hashes", "bands", "shingle_k", "hash_fn")
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    hash_fn: str = "murmur3",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded-minhash bucket index (doc_id, band, bucket) for
+    INCREMENTAL dedup: a deduped 100 TB corpus keeps this narrow index
+    (``bands`` rows per doc) so a daily increment joins against buckets
+    instead of re-shingling and re-hashing the whole history.
+
+    A ``_params.json`` sidecar pins the signature parameters; the
+    incremental reader refuses an index built with different parameters
+    (signatures from different parameter sets are incomparable, and a
+    silent mismatch would return garbage pairs).  ``mode='append'`` adds
+    a new batch's buckets after it has been deduped in.
+    """
+    import json
+    import os
+
+    params = {"n_hashes": n_hashes, "bands": bands,
+              "shingle_k": shingle_k, "hash_fn": hash_fn}
+    sidecar = os.path.join(path, "_params.json")
+    if mode == "append" and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            existing = json.load(f)
+        if existing != params:
+            raise ValueError(
+                f"minhash index at {path} was built with {existing}, "
+                f"append requested with {params}"
+            )
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, n_hashes, bands, shingle_k, hash_fn
+    ).withColumnRenamed(id_col, "doc_id")
+    buckets.write.mode(mode).parquet(path)
+    with open(sidecar, "w") as f:
+        json.dump(params, f)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs TOUCHING the new batch: new↔old and
+    new↔new, never old↔old — the incremental-ingest shape.  Exactly the
+    pairs :func:`minhash_lsh_pairs` over (old ∪ new) would emit minus the
+    pairs internal to the old corpus, cap included (the bucket cap is
+    computed over the UNION, so a bucket the full run would drop is
+    dropped here too; pinned by test_minhash_incremental_matches_full).
+
+    Signature parameters come from the index's ``_params.json`` sidecar —
+    the one source of truth — so a caller cannot accidentally hash the
+    increment differently from the history.
+
+    Scale shape: ONE shuffle on (band, bucket); the old side arrives
+    pre-hashed from the narrow parquet index (predicate-pruned scan, no
+    text), only the increment pays shingling.  Emits (a, b, a_is_new,
+    b_is_new) with a < b.
+    """
+    import json
+    import os
+
+    spark = new_docs.sparkSession
+    with open(os.path.join(index_path, "_params.json")) as f:
+        p = json.load(f)
+
+    new_b = minhash_band_buckets(
+        new_docs, id_col, text_col,
+        p["n_hashes"], p["bands"], p["shingle_k"], p["hash_fn"],
+    ).select(F.col(id_col).alias("doc_id"), "band", "bucket",
+             F.lit(True).alias("_new"))
+    old_b = spark.read.parquet(index_path).select(
+        "doc_id", "band", "bucket", F.lit(False).alias("_new")
+    )
+    union = new_b.unionByName(old_b)
+
+    w = Window.partitionBy("band", "bucket")
+    capped = (
+        union.withColumn("_c", F.count("*").over(w))
+        .filter(F.col("_c") <= max_bucket)
+        .drop("_c")
+    )
+    lhs = capped.filter(F.col("_new")).select(
+        "band", "bucket", F.col("doc_id").alias("x"))
+    rhs = capped.select(
+        "band", "bucket", F.col("doc_id").alias("y"), F.col("_new").alias("y_new"))
+    return (
+        lhs.join(rhs, ["band", "bucket"])
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            # x is always new; y's flag decides each endpoint's provenance
+            F.when(F.col("x") < F.col("y"), F.lit(True)).otherwise(F.col("y_new")).alias("a_is_new"),
+            F.when(F.col("x") < F.col("y"), F.col("y_new")).otherwise(F.lit(True)).alias("b_is_new"),
+        )
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -203,3 +203,48 @@ def test_dedup_cli_exact_and_missing_input(spark, tmp_path, capsys):
     kept = {r["doc_id"] for r in
             spark.read.parquet(os.path.join(out, "deduped")).collect()}
     assert kept == {1, 3}
+
+
+def test_dedup_cli_incremental_index_flow(spark, tmp_path, capsys):
+    """Day-1 builds the index; day-2 dedups its increment against it
+    without touching day-1 text, and --update-index folds the increment
+    in for day 3."""
+    import json
+
+    from sqllog_analysis_spark.dedup_cli import main as dedup_main
+
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    text = "a perfectly ordinary document about distributed query engines "
+    spark.createDataFrame(
+        [(i, text + f"v{i}") for i in range(5)], "doc_id long, text string"
+    ).write.parquet(day1)
+    spark.createDataFrame(
+        [(100, text + "v0"),  # duplicates day-1 doc 0
+         (101, "fresh unrelated content that has no earlier counterpart")],
+        "doc_id long, text string",
+    ).write.parquet(day2)
+    idx = str(tmp_path / "mh_index")
+
+    rc = dedup_main(["--input", day1, "--output", str(tmp_path / "o1"),
+                     "--method", "minhash", "--index", idx,
+                     "--shingle-k", "3", "--n-hashes", "16", "--bands", "8"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(idx, "_params.json"))
+    capsys.readouterr()
+
+    rc = dedup_main(["--input", day2, "--output", str(tmp_path / "o2"),
+                     "--method", "minhash", "--index", idx, "--update-index"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["docs"] == 2
+    # 100 pairs with day-1's doc 0, clusters to the OLD representative,
+    # and is dropped from the increment's deduped output; 101 survives
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(os.path.join(tmp_path, "o2", "deduped")).collect()}
+    assert kept == {101}
+    # --update-index appended day-2's buckets (7 docs total in the index)
+    assert spark.read.parquet(idx).select("doc_id").distinct().count() == 7
+    # --index with a non-minhash method is a usage error
+    assert dedup_main(["--input", day2, "--output", str(tmp_path / "o3"),
+                       "--method", "exact", "--index", idx]) == 2

@@ -575,3 +575,140 @@ def test_simhash_near_dup_pairs_bucket_cap(spark):
     )
     assert DD.simhash_near_dup_pairs(empt, max_bucket=10).count() == 0
     assert DD.simhash_near_dup_pairs(empt, max_bucket=64).count() == 435
+
+
+def test_simhash_banding_full_recall_vs_brute_force(spark):
+    """Pigeonhole guarantee as a property: with hamming < bands and no
+    bucket cap, the banded self-join finds EXACTLY the pairs brute-force
+    popcount admits at the radius — banding may never lose a pair."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(words, 12)
+        rows.append((i, " ".join(base)))
+        if i % 3 == 0:  # planted near-dup: one word swapped
+            mut = list(base)
+            mut[rng.randrange(12)] = rng.choice(words)
+            rows.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    radius, bands = 12, 16
+    got = {
+        (r["a"], r["b"])
+        for r in DD.simhash_near_dup_pairs(
+            df, bands=bands, hamming=radius, max_bucket=10**6
+        ).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(df).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= radius
+    }
+    assert got == want and len(want) > 0
+
+
+def test_minhash_incremental_matches_full(spark, tmp_path):
+    """Incremental dedup exactness: pairs(increment vs index) == pairs of
+    a FULL run over (old ∪ new) restricted to pairs touching a new doc —
+    including the bucket cap, which must bind on the union."""
+    tmpl = "shared boilerplate sentence repeated almost verbatim here "
+    old_rows = [(i, tmpl + f"tail{i % 4}") for i in range(8)] + [
+        (50, "an old document that will get a duplicate in the increment"),
+        (51, "old text entirely unrelated to everything else in the corpus"),
+    ]
+    new_rows = [
+        (100, tmpl + "tail0"),   # joins the boilerplate group
+        (101, tmpl + "tail1"),
+        (102, "an old document that will get a duplicate in the increment"),
+        (103, "a brand new unique document with fresh content and words"),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    both = old.unionByName(new)
+    params = dict(n_hashes=16, bands=8, shingle_k=3)
+
+    idx = str(tmp_path / "mh_index")
+    DD.write_minhash_index(old, idx, **params)
+
+    for cap in (200, 9):  # 9: the boilerplate bucket (10 docs) only
+        # exceeds the cap on the UNION — old alone fits
+        inc = {
+            (r["a"], r["b"]): (r["a_is_new"], r["b_is_new"])
+            for r in DD.minhash_lsh_pairs_incremental(
+                new, idx, max_bucket=cap
+            ).collect()
+        }
+        full = {
+            (r["a"], r["b"])
+            for r in DD.minhash_lsh_pairs(both, max_bucket=cap, **params).collect()
+        }
+        new_ids = {r[0] for r in new_rows}
+        want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+        assert set(inc) == want and len(want) > 0
+        for (a, b), (an, bn) in inc.items():
+            assert an == (a in new_ids) and bn == (b in new_ids)
+    # the old-old boilerplate pairs exist in the full run but must never
+    # be recomputed by the incremental path
+    assert any(a < 100 and b < 100 for a, b in full)
+
+    # appending the increment's buckets grows the index; params mismatch is loud
+    DD.write_minhash_index(new, idx, mode="append", **params)
+    assert spark.read.parquet(idx).select("doc_id").distinct().count() == 14
+    with pytest.raises(ValueError, match="built with"):
+        DD.write_minhash_index(new, idx, mode="append", n_hashes=32, bands=8,
+                               shingle_k=3)
+
+
+def test_embedding_incremental_matches_full(spark, tmp_path):
+    """Embedding-side incremental exactness: pairs(increment vs index) ==
+    full lsh_near_dup_pairs over (old ∪ new) restricted to new-touching
+    pairs, with the bucket cap binding on the union."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((10, 12))
+    old_rows, new_rows = [], []
+    for i in range(80):
+        v = base[i % 10] + 0.03 * rng.standard_normal(12)
+        old_rows.append((i, v.tolist()))
+    for i in range(12):
+        v = base[i % 10] + 0.03 * rng.standard_normal(12)
+        new_rows.append((1000 + i, v.tolist()))
+    old = spark.createDataFrame(old_rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    both = old.unionByName(new)
+
+    idx = str(tmp_path / "emb_index")
+    SIM.write_embedding_index(old, idx, dim=12, bits=5, seeds=2)
+
+    new_ids = {r[0] for r in new_rows}
+    for cap in (1000, 12):
+        inc = {
+            (r["a"], r["b"]): (r["cosine"], r["a_is_new"], r["b_is_new"])
+            for r in SIM.lsh_near_dup_pairs_incremental(
+                new, idx, threshold=0.9, max_bucket=cap
+            ).collect()
+        }
+        full = {
+            (r["a"], r["b"]): r["cosine"]
+            for r in SIM.lsh_near_dup_pairs(
+                both, dim=12, threshold=0.9, bits=5, seeds=2, max_bucket=cap
+            ).collect()
+        }
+        want = {p: c for p, c in full.items()
+                if p[0] in new_ids or p[1] in new_ids}
+        assert {p: v[0] for p, v in inc.items()} == want and len(want) > 0
+        for (a, b), (_, an, bn) in inc.items():
+            assert an == (a in new_ids) and bn == (b in new_ids)
+    # old-old pairs exist in the full run but are never recomputed
+    assert any(a not in new_ids and b not in new_ids for a, b in full)
+
+    # append + param-mismatch guard
+    SIM.write_embedding_index(new, idx, dim=12, bits=5, seeds=2, mode="append")
+    assert spark.read.parquet(idx).select("vec_id").distinct().count() == 92
+    with pytest.raises(ValueError, match="built with"):
+        SIM.write_embedding_index(new, idx, dim=12, bits=6, seeds=2, mode="append")
