@@ -120,6 +120,16 @@ tasks, median > 0.1 s; UI taskSummary):
 Worst ratio {worst:.2f} — bounded task skew (a conv_id-only salt would
 put ~{int(hot_frac * 100)}% of all rows in ONE task: ratio ≥ {int(hot_frac * 128)}
 at 128 partitions).
+
+The residual hot-leg penalty is structural, not a salting failure: turn
+ordering windows over conv_id, and a window needs the whole conversation
+in one task by semantics — a {int(n * hot_frac):,}-turn conversation IS
+one task's work on the ordering exchange, whatever the partition count.
+The SINK exchange (where naive partitioning collapses hardest, one
+(category, dt) directory = one reducer) is content-salted and stays
+flat.  On a real cluster the same bound applies per conversation, so the
+penalty shrinks as corpus/conversation ratio grows — 10% in one
+conversation is the stress case, not the expectation.
 """
     return md, walls["uniform"] + walls["hot"]
 
@@ -165,6 +175,36 @@ def dedup_scale(spark, n_docs: int = 2_000_000) -> tuple[str, float]:
         walls["cc"] = min(walls["cc"], time.perf_counter() - t0)
         rounds = stats["rounds"]
 
+    # incremental-ingest leg (round 5): a 100k-doc increment deduped
+    # against the 2M-doc history via the persistent bucket index — the
+    # daily-ingest shape.  The increment pays shingling/minhashing for
+    # 100k docs only; the history arrives pre-hashed from the narrow
+    # parquet index.  Index build is one-time (amortized across every
+    # future increment), measured separately.
+    from sqllog_analysis_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        write_minhash_index,
+    )
+
+    inc_n = 100_000
+    p_inc = os.path.join(REPO, ".data", f"documents_inc_{inc_n}_b5d10.parquet")
+    if not os.path.exists(p_inc):
+        write_documents(spark, p_inc, inc_n, seed=43, boilerplate_frac=0.05,
+                        dup_frac=0.10, dup_cluster_size=5)
+    inc_docs = spark.read.parquet(p_inc)
+    idx = os.path.join(REPO, ".data", f"mh_index_{n_docs}")
+    t0 = time.perf_counter()
+    write_minhash_index(docs, idx, hash_fn="murmur3")
+    wall_index = time.perf_counter() - t0
+    walls_inc = float("inf")
+    n_inc_pairs = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_inc_pairs = minhash_lsh_pairs_incremental(
+            inc_docs, idx, max_bucket=cap
+        ).count()
+        walls_inc = min(walls_inc, time.perf_counter() - t0)
+
     # bucket diagnostics: how hard did the planted boilerplate flood the
     # cap (one extra aggregate over the shared band-bucket substrate)
     bstats = (
@@ -179,7 +219,11 @@ def dedup_scale(spark, n_docs: int = 2_000_000) -> tuple[str, float]:
     print(json.dumps({"dedup_scale": {"n_docs": n_docs, "pairs": n_pairs,
                                       "clusters": n_clusters, "cc_rounds": rounds,
                                       "capped_buckets": int(bstats["over"]),
-                                      "walls": {k: round(v, 2) for k, v in walls.items()}}}))
+                                      "walls": {k: round(v, 2) for k, v in walls.items()},
+                                      "incremental": {"inc_docs": inc_n,
+                                                      "index_build_s": round(wall_index, 2),
+                                                      "pairs_s": round(walls_inc, 2),
+                                                      "pairs": n_inc_pairs}}}))
     uncapped_boiler_pairs = (n_docs // 20) * (n_docs // 20 - 1) // 2
     md = f"""
 ## Dedup at corpus scale: minhash-LSH + connected components, {n_docs:,} docs
@@ -207,6 +251,25 @@ pins both the bound and that a cap-fitting planted cluster collapses to
 ONE representative).  CC converged in {rounds} rounds (pointer jumping:
 O(log diameter)), with per-round localCheckpoint keeping the plan
 constant-size.
+
+### Incremental ingest against the same history
+
+Daily-ingest shape: a {inc_n:,}-doc increment deduped against the
+{n_docs:,}-doc history through the persistent bucket index
+(write_minhash_index / minhash_lsh_pairs_incremental) instead of
+re-running the full corpus:
+
+| leg | wall sec | result |
+|---|---|---|
+| index build (ONE-time, amortized over all future increments) | {wall_index:.2f} | {n_docs:,} docs × 16 bands, narrow parquet |
+| incremental pairs ({inc_n:,} new vs history) | {walls_inc:.2f} | {n_inc_pairs:,} new-touching pairs |
+| full re-dedup of the union (the alternative) | ≥ {walls['lsh']:.2f} | re-shingles all {n_docs:,} history docs |
+
+The increment pays shingling/minhash for its own {inc_n:,} docs only;
+the history arrives pre-hashed from a 3-column index scan, old-old pairs
+are structurally excluded, and the bucket cap is computed on the union —
+results are exactly the full run restricted to new-touching pairs
+(tests/test_training_ops.py::test_minhash_incremental_matches_full).
 """
     return md, walls["lsh"] + walls["cc"]
 
