@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --index: append --input's buckets to the "
                          "index after pairing, so the next increment dedups "
                          "against this batch too")
+    ap.add_argument("--prev-clusters", default=None,
+                    help="with an existing --index: previous run's clusters/ "
+                         "directory; the increment's pairs MERGE into those "
+                         "assignments (union-find over star edges) instead "
+                         "of clustering in isolation, and <output>/clusters "
+                         "holds the merged result for the next day. Assumes "
+                         "increment ids sort after history ids (the natural "
+                         "ingest order), so representatives stay in history")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores")
     args = ap.parse_args(argv)
 
@@ -80,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if (args.index or args.update_index) and args.method != "minhash":
         print("error: --index/--update-index require --method minhash",
+              file=sys.stderr)
+        return 2
+    if args.prev_clusters and args.method == "exact":
+        print("error: --prev-clusters requires a pair-based method",
               file=sys.stderr)
         return 2
 
@@ -144,7 +156,12 @@ def main(argv: list[str] | None = None) -> int:
         pairs.write.mode("overwrite").parquet(os.path.join(args.output, "pairs"))
         pairs = spark.read.parquet(os.path.join(args.output, "pairs"))
         n_pairs = pairs.count()
-        clusters = DD.dup_clusters(pairs.select("a", "b"))
+        if args.prev_clusters:
+            clusters = DD.dup_clusters_incremental(
+                pairs.select("a", "b"), spark.read.parquet(args.prev_clusters)
+            )
+        else:
+            clusters = DD.dup_clusters(pairs.select("a", "b"))
     else:
         n_pairs = 0
 

@@ -654,3 +654,35 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dup_clusters_incremental(
+    new_pairs: DataFrame,
+    old_clusters: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Merge an increment's near-dup pairs into EXISTING cluster
+    assignments without re-clustering the history — the companion of
+    :func:`minhash_lsh_pairs_incremental` for the cluster step.
+
+    Standard union-find merge: each old (doc_id, cluster_id) row is a
+    star edge doc→representative, so connected components over
+    (star edges ∪ new-touching pairs) equal components of the FULL pair
+    graph — the old intra-cluster pair edges are redundant once their
+    star is known (pinned by test_dup_clusters_incremental_matches_full).
+    Cost scales with (docs already in clusters + docs touching the
+    increment), not corpus size: unclustered history docs never enter.
+
+    Emits (doc_id, cluster_id) for every doc in some cluster of the
+    merged graph, min-id representative as always — an old cluster that
+    gains a smaller-id member is relabeled, exactly as a full re-run
+    would.
+    """
+    star = old_clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(a_col), F.col("cluster_id").alias(b_col)
+    )
+    edges = new_pairs.select(a_col, b_col).unionByName(star)
+    return dup_clusters(edges, a_col, b_col, max_iter, stats)

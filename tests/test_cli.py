@@ -248,3 +248,53 @@ def test_dedup_cli_incremental_index_flow(spark, tmp_path, capsys):
     # --index with a non-minhash method is a usage error
     assert dedup_main(["--input", day2, "--output", str(tmp_path / "o3"),
                        "--method", "exact", "--index", idx]) == 2
+
+
+def test_dedup_cli_prev_clusters_merges_days(spark, tmp_path, capsys):
+    """Day-2 clusters merge into day-1's via --prev-clusters: the merged
+    clusters/ output equals a from-scratch clustering of both days'
+    pairs, ready to be next day's --prev-clusters."""
+    import json
+
+    from sqllog_analysis_spark.dedup_cli import main as dedup_main
+
+    text = "the same boilerplate paragraph that every mirror site carries "
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    spark.createDataFrame(
+        [(1, text + "alpha"), (2, text + "alpha"),
+         (3, "unique day-one content with completely different words")],
+        "doc_id long, text string",
+    ).write.parquet(day1)
+    spark.createDataFrame(
+        [(100, text + "alpha"),  # joins the {1,2} cluster
+         (101, "fresh day-two material unrelated to prior documents")],
+        "doc_id long, text string",
+    ).write.parquet(day2)
+    idx = str(tmp_path / "idx")
+
+    assert dedup_main(["--input", day1, "--output", str(tmp_path / "o1"),
+                       "--method", "minhash", "--index", idx,
+                       "--shingle-k", "3", "--n-hashes", "16", "--bands", "8"]) == 0
+    capsys.readouterr()
+    assert dedup_main(["--input", day2, "--output", str(tmp_path / "o2"),
+                       "--method", "minhash", "--index", idx,
+                       "--prev-clusters", str(tmp_path / "o1" / "clusters"),
+                       "--update-index"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    merged = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(
+            os.path.join(tmp_path, "o2", "clusters")).collect()
+    }
+    # {1, 2, 100} are one cluster with the day-1 representative
+    assert merged[1] == merged[2] == merged[100] == 1
+    assert 3 not in merged and 101 not in merged  # singletons stay out
+    # 100 duplicates history → dropped; 101 survives
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(tmp_path, "o2", "deduped")).collect()}
+    assert kept == {101} and s["docs_kept"] == 1
+    # usage guard
+    assert dedup_main(["--input", day2, "--output", str(tmp_path / "o3"),
+                       "--method", "exact",
+                       "--prev-clusters", str(tmp_path / "o1" / "clusters")]) == 2

@@ -712,3 +712,32 @@ def test_embedding_incremental_matches_full(spark, tmp_path):
     assert spark.read.parquet(idx).select("vec_id").distinct().count() == 92
     with pytest.raises(ValueError, match="built with"):
         SIM.write_embedding_index(new, idx, dim=12, bits=6, seeds=2, mode="append")
+
+
+def test_dup_clusters_incremental_matches_full(spark, tmp_path):
+    """Union-find merge exactness: incremental clustering (old star edges
+    ∪ new-touching pairs) == full CC over ALL pairs, for every doc the
+    merged graph touches — including an old cluster relabeled by a
+    smaller-id bridge and two old clusters merged through a new doc."""
+    # old graph: {10,11,12} cluster 10; {20,21} cluster 20; 30 singleton
+    old_pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "a long, b long"
+    )
+    old_clusters = DD.dup_clusters(old_pairs)
+    # increment: 5 bridges into cluster 10 (new min-id rep), 100 merges
+    # clusters 10 and 20 transitively, 200-201 form a brand-new cluster
+    new_pairs = spark.createDataFrame(
+        [(5, 12), (100, 11), (100, 21), (200, 201)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.dup_clusters_incremental(new_pairs, old_clusters).collect()
+    }
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.dup_clusters(old_pairs.unionByName(new_pairs)).collect()
+    }
+    assert got == want
+    assert got[12] == 5 and got[21] == 5 and got[100] == 5  # merged + relabeled
+    assert got[200] == 200 and got[201] == 200
+    assert 30 not in got  # untouched singleton never enters
