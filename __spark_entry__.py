@@ -431,6 +431,26 @@ def q_simhash(spark, sf_dir):
     return DD.simhash(d, bits=60, hash_fn="md5").orderBy("doc_id")
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental dedup, hash-checked end-to-end: docs < 400 are the
+    indexed history (write_minhash_index, md5 flavor), docs >= 400 the
+    increment; minhash_lsh_pairs_incremental joins pre-hashed history
+    buckets.  Union buckets are identical to full-corpus buckets by
+    construction, so the DuckDB oracle is the FULL md5 pair SQL
+    restricted to pairs touching the increment, with provenance flags
+    recomputed from the split constant."""
+    d = _t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(_DATA_CACHE, f"mh_idx_contract_{sf_tag}")
+    DD.write_minhash_index(
+        d.filter(F.col("doc_id") < 400), idx,
+        n_hashes=16, bands=4, shingle_k=3, hash_fn="md5",
+    )
+    return DD.minhash_lsh_pairs_incremental(
+        d.filter(F.col("doc_id") >= 400), idx, max_bucket=200
+    ).orderBy("a", "b")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded SimHash near-dup pairs (pigeonhole banding: 10 bands of 6
     bits over the 60-bit md5 signature guarantees full recall at Hamming
@@ -638,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_incremental": q_minhash_incremental,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_full_topk": q_ivf_full_topk,
@@ -796,6 +817,22 @@ def _simhash_sql(bits: int, where: str) -> str:
         )
         SELECT doc_id, ({sig})::BIGINT AS simhash
         FROM votes ORDER BY doc_id
+    """
+
+
+def _minhash_incremental_sql(
+    n_hashes: int, bands: int, shingle_k: int, max_bucket: int, split: int
+) -> str:
+    """Oracle for minhash_lsh_pairs_incremental: the union of (indexed
+    history, increment) buckets equals full-corpus buckets, so the exact
+    pair set is the full run's pairs restricted to those touching a doc
+    >= split, with provenance flags derived from the split constant."""
+    inner = _minhash_lsh_sql(n_hashes, bands, shingle_k, max_bucket)
+    return f"""
+        SELECT a, b, (a >= {split}) AS a_is_new, (b >= {split}) AS b_is_new
+        FROM ({inner}) full_pairs
+        WHERE a >= {split} OR b >= {split}
+        ORDER BY a, b
     """
 
 
@@ -1043,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": _winnow_sql(5, 4, 16, "WHERE doc_id < 100"),
         "simhash": _simhash_sql(60, "WHERE doc_id < 200"),
         "simhash_pairs": _simhash_pairs_sql(60, 10, 6, 200, "WHERE doc_id < 400"),
+        "minhash_incremental": _minhash_incremental_sql(16, 4, 3, 200, 400),
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5, 1000, "WHERE doc_id < 300"),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
