@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sqllog_analysis_spark.functions import text as TX  # noqa: E402
+from sqllog_analysis_spark.operators import corpus as CP  # noqa: E402
 from sqllog_analysis_spark.operators import dedup as DD  # noqa: E402
 from sqllog_analysis_spark.operators import multimodal as MM  # noqa: E402
 from sqllog_analysis_spark.operators import sampling as SMP  # noqa: E402
@@ -597,6 +598,50 @@ def q_seq_packing(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (hash-split buckets 0-89)
+    sharing any 13-word shingle with the held-out eval slice (buckets
+    95-99).  Eval shingles broadcast; only hits shuffle
+    (operators/corpus.py::decontaminate)."""
+    d = _t(spark, sf_dir, "documents")
+    b = SMP.split_bucket("doc_id")
+    return CP.decontaminate(d.filter(b < 90), d.filter(b >= 95)).orderBy(
+        "doc_id"
+    )
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style within-doc repetition gate: dup-word / top-2-gram /
+    dup-3-gram fractions + keep flag, all pure column expressions
+    (operators/corpus.py::repetition_filter)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CP.repetition_filter(d)
+        .select(
+            "doc_id", "dup_word_frac", "top_2gram_frac", "dup_3gram_frac", "keep"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) stratified sampling over lang_guess
+    strata, membership by md5 hash bucket — exact sampled id set is
+    hash-checked against the oracle (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    s = CP.stratified_sample(
+        d, TX.lang_guess("text"), alpha=0.5, target_frac=0.5
+    )
+    return s.select("stratum", "doc_id").orderBy("stratum", "doc_id")
+
+
+def q_passage_stats(spark, sf_dir):
+    """Cross-doc passage-level exact dedup: 10-token passages, md5
+    fingerprints, docs sharing any passage with another doc
+    (operators/corpus.py::passage_stats)."""
+    return CP.passage_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # The transcript pipeline itself (rows-only: not a pre-registered view)
 # ---------------------------------------------------------------------------
@@ -666,6 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "sample_split": q_sample_split,
         "seq_packing": q_seq_packing,
+        "decontaminate": q_decontaminate,
+        "repetition_filter": q_repetition_filter,
+        "stratified_sample": q_stratified_sample,
+        "passage_stats": q_passage_stats,
         "lsh_near_dup": q_lsh_near_dup,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
@@ -1360,6 +1409,116 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
                    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
             FROM c GROUP BY part, bin_id ORDER BY part, bin_id
+        """,
+        "decontaminate": """
+            WITH d AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bk,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, bk,
+                       unnest(CASE WHEN len(w) >= 13 THEN
+                           list_transform(generate_series(1, len(w) - 12),
+                                          i -> array_to_string(w[i:i + 12], ' '))
+                       ELSE [array_to_string(w, ' ')] END) AS g
+                FROM d
+            ), ev AS (SELECT DISTINCT g FROM sh WHERE bk >= 95)
+            SELECT s.doc_id, COUNT(DISTINCT s.g) AS n_hits
+            FROM sh s JOIN ev USING (g)
+            WHERE s.bk < 90
+            GROUP BY s.doc_id ORDER BY doc_id
+        """,
+        "repetition_filter": """
+            WITH t AS (
+                SELECT doc_id,
+                       (regexp_split_to_array(lower(trim(text)), '\\s+'))[1:2000] AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, toks, len(toks) AS n_w,
+                       CASE WHEN len(toks) >= 2 THEN
+                           list_transform(generate_series(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i + 1], ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS g2,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_transform(generate_series(1, len(toks) - 2),
+                                          i -> array_to_string(toks[i:i + 2], ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS g3
+                FROM t
+            ), m AS (
+                SELECT doc_id,
+                       round(CASE WHEN n_w > 0
+                                  THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_w
+                                  ELSE 0.0 END, 6) AS dup_word_frac,
+                       round(CASE WHEN n_w >= 2
+                                  THEN CAST(list_max(list_transform(list_distinct(g2),
+                                       d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2)
+                                  ELSE 0.0 END, 6) AS top_2gram_frac,
+                       round(CASE WHEN n_w >= 3
+                                  THEN CAST(len(list_filter(g3,
+                                       x -> len(list_filter(g3, y -> y = x)) >= 2)) AS DOUBLE) / len(g3)
+                                  ELSE 0.0 END, 6) AS dup_3gram_frac
+                FROM g
+            )
+            SELECT doc_id, dup_word_frac, top_2gram_frac, dup_3gram_frac,
+                   (dup_word_frac <= 0.50 AND top_2gram_frac <= 0.20
+                    AND dup_3gram_frac <= 0.30) AS keep
+            FROM m ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            WITH v AS (
+                SELECT doc_id,
+                       CASE WHEN len(text) > 0
+                            THEN CAST(len(text) - len(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS DOUBLE) / len(text)
+                            ELSE 0.0 END AS vr,
+                       regexp_matches(text, '[一-鿿]') AS cjk
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN cjk THEN 'zh'
+                            WHEN vr >= 0.42 THEN 'fi'
+                            WHEN vr >= 0.38 THEN 'es'
+                            WHEN vr >= 0.34 THEN 'en'
+                            WHEN vr >= 0.30 THEN 'de'
+                            ELSE 'other' END AS stratum
+                FROM v
+            ), c AS (
+                SELECT stratum, COUNT(*) AS c FROM s GROUP BY stratum
+            ), tot AS (
+                SELECT SUM(c) AS total, SUM(power(c, 0.5)) AS sum_w FROM c
+            ), r AS (
+                SELECT stratum,
+                       CAST(floor(round(10000 * least(1.0,
+                            0.5 * total * power(c, 0.5) / (sum_w * c)), 9)) AS BIGINT) AS thresh
+                FROM c, tot
+            )
+            SELECT s.stratum, s.doc_id
+            FROM s JOIN r USING (stratum)
+            WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 < r.thresh
+            ORDER BY stratum, doc_id
+        """,
+        "passage_stats": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), p AS (
+                SELECT doc_id,
+                       unnest(list_distinct(CASE WHEN len(toks) >= 10 THEN
+                           list_transform(generate_series(0, CAST(floor(len(toks) / 10) AS INT) - 1),
+                                          i -> md5(array_to_string(toks[i * 10 + 1:i * 10 + 10], ' ')))
+                       ELSE CAST([] AS VARCHAR[]) END)) AS fp
+                FROM t
+            ), dupfp AS (
+                SELECT fp FROM p GROUP BY fp HAVING COUNT(*) >= 2
+            ), per_doc AS (
+                SELECT doc_id, COUNT(*) AS n_passages FROM p GROUP BY doc_id
+            ), dup_doc AS (
+                SELECT p.doc_id, COUNT(*) AS n_dup_passages
+                FROM p JOIN dupfp USING (fp) GROUP BY p.doc_id
+            )
+            SELECT doc_id, n_passages, n_dup_passages
+            FROM per_doc JOIN dup_doc USING (doc_id)
+            ORDER BY doc_id
         """,
     }
 

@@ -1,0 +1,273 @@
+"""Corpus-curation operators a training-data pipeline runs between raw
+ingestion and dataset assembly: benchmark decontamination, Gopher-style
+repetition filtering, temperature-scaled stratified sampling, and
+cross-document passage dedup.
+
+All four are engine-agnostic by construction — membership / thresholds
+derive from md5 buckets or integer-exact counts so the driver contract's
+DuckDB oracle reproduces every row bit-for-bit — and each is written in
+the shuffle shape that survives 100 TB (see the per-function notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sqllog_analysis_spark.operators.dedup import _shingles
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    shingle_k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents that share any ``shingle_k``-word shingle
+    with an evaluation set — the standard n-gram decontamination rule
+    (13-grams is the GPT-3/Llama convention).
+
+    Returns (id_col, n_hits): one row per CONTAMINATED training doc with
+    the number of distinct eval shingles it contains.  Callers drop or
+    quarantine these ids (an anti-join against this frame).
+
+    Scale shape: the eval side (benchmark suites) is MBs even when the
+    corpus is 100 TB, so its distinct shingle set is broadcast — the
+    train side explodes its (per-doc deduped) shingles map-side, the
+    broadcast hash join keeps only matching grams, and the final groupBy
+    shuffles just the hits (a vanishing fraction of the corpus).  No
+    all-pairs, no big-side shuffle.
+    """
+    ev = (
+        eval_df.select(F.explode(_shingles(text_col, shingle_k)).alias("g"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("g"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics
+# ---------------------------------------------------------------------------
+
+def _gram_occurrence_counts(grams: Column) -> Column:
+    """For each distinct gram, how many times it occurs in ``grams``.
+    Pure higher-order functions (whole-stage codegen); O(u·n) per doc in
+    (unique, total) grams, so callers bound doc length via max_tokens."""
+    return F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda x: x == d)),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 2000,
+) -> DataFrame:
+    """Add Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1, "repetitious text" filters), all as pure column
+    expressions over the first ``max_tokens`` whitespace tokens:
+
+    - ``dup_word_frac``   — 1 − distinct words / words
+    - ``top_2gram_frac``  — occurrences of the most frequent 2-gram / all 2-grams
+    - ``dup_3gram_frac``  — fraction of 3-gram occurrences whose gram repeats
+
+    ``max_tokens`` bounds the O(u·n) per-doc cost of the in-array
+    frequency counts so a pathological 1 GB document can't stall an
+    executor core; repetition signals saturate long before 2000 tokens.
+    No shuffle, no Python — this is a projection even at 100 TB.
+    """
+    toks = F.slice(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), 1, max_tokens
+    )
+    head = F.concat_ws(" ", toks)
+    g2 = _shingles_of(head, 2)
+    g3 = _shingles_of(head, 3)
+    n_w = F.size(toks)
+    dup_word = F.when(
+        n_w > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_w,
+    ).otherwise(F.lit(0.0))
+    # guard on token count (not gram-array size): _shingles_of degrades
+    # to a single whole-text "gram" below k tokens, which must read as
+    # "no repetition evidence", not top-gram fraction 1.0
+    top2 = F.when(
+        n_w >= 2,
+        F.array_max(_gram_occurrence_counts(g2)).cast("double") / F.size(g2),
+    ).otherwise(F.lit(0.0))
+    dup3 = F.when(
+        n_w >= 3,
+        F.size(
+            F.filter(g3, lambda x: F.size(F.filter(g3, lambda y: y == x)) >= 2)
+        ).cast("double")
+        / F.size(g3),
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "dup_word_frac": F.round(dup_word, 6),
+            "top_2gram_frac": F.round(top2, 6),
+            "dup_3gram_frac": F.round(dup3, 6),
+        }
+    )
+
+
+def _shingles_of(text_expr: Column, k: int) -> Column:
+    """k-word shingles of an arbitrary text EXPRESSION (dedup._shingles
+    takes a column name; this takes the already-built expression)."""
+    toks = F.split(text_expr, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.50,
+    max_top_2gram_frac: float = 0.20,
+    max_dup_3gram_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher repetition gate: metrics + a ``keep`` flag.  Thresholds
+    default to the Gopher-paper neighborhood (top-2-gram ≤ 0.20,
+    duplicate-n-gram mass ≤ ~0.30)."""
+    m = repetition_metrics(df, text_col)
+    return m.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        & (F.col("dup_3gram_frac") <= max_dup_3gram_frac),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Column | str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic temperature-scaled stratified sampling (the
+    multilingual-pretraining rule: stratum s is drawn ∝ count(s)^alpha,
+    alpha<1 up-weights small strata).  Selection is by md5 hash bucket of
+    the id against an integer per-stratum threshold, so membership is
+    reproducible row-locally by any engine — re-runs, resumes, and
+    audits all agree (unlike rand(seed), which is engine-private).
+
+    Two passes: a tiny per-stratum count aggregate (broadcast back), then
+    a narrow filter over the corpus — at 100 TB the corpus is read once
+    and never shuffled.  Rows where ``bucket(id) < floor(buckets · rate_s)``
+    survive, ``rate_s = min(1, target_frac · total · w_s / (Σw · c_s))``,
+    ``w_s = c_s^alpha``.
+
+    Returns the input rows + ``stratum`` for the sampled subset.
+    """
+    s = strata if isinstance(strata, Column) else F.col(strata)
+    base = df.withColumn("stratum", s)
+    counts = base.groupBy("stratum").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("total"), F.sum(F.pow("c", alpha)).alias("sum_w")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        # round to 9 dp before floor so a rate computed within float
+        # noise of an integer bucket count floors identically in every
+        # engine (same boundary-rounding convention as similarity.py)
+        F.floor(
+            F.round(
+                buckets
+                * F.least(
+                    F.lit(1.0),
+                    target_frac
+                    * F.col("total")
+                    * F.pow("c", alpha)
+                    / (F.col("sum_w") * F.col("c")),
+                ),
+                9,
+            )
+        ).alias("thresh"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    return (
+        base.join(F.broadcast(rates), "stratum")
+        .filter(F.pmod(h, F.lit(buckets)) < F.col("thresh"))
+        .drop("thresh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document passage dedup
+# ---------------------------------------------------------------------------
+
+def passage_stats(
+    df: DataFrame,
+    passage_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document passage-level exact dedup (the cheap, shuffle-bounded
+    approximation of suffix-array ExactSubstr dedup, Lee et al. 2022):
+    each document is cut into non-overlapping ``passage_tokens``-word
+    passages, each passage is md5-fingerprinted, and a passage is
+    "duplicated" when it appears in ≥ 2 distinct documents.
+
+    Returns per-doc (id_col, n_passages, n_dup_passages) for documents
+    containing at least one duplicated passage — the candidates for
+    passage-level clipping.
+
+    Scale shape: two key-grouped shuffles (fingerprint → doc), the
+    canonical MapReduce dedup profile.  Passages are fingerprinted
+    map-side (16-byte keys shuffle, never the text), the per-fingerprint
+    aggregate is partial (map-side combine), and boilerplate hot keys
+    spread across doc-id salts naturally because the first groupBy key
+    is the fingerprint itself.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_p = F.floor(F.size(toks) / passage_tokens).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_p - 1, F.lit(0)))
+    passages = F.when(
+        n_p >= 1,
+        F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i * passage_tokens + 1, passage_tokens))
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    per_passage = df.select(
+        F.col(id_col), F.explode(F.array_distinct(passages)).alias("fp")
+    )
+    dup_fp = (
+        per_passage.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    per_doc = per_passage.groupBy(id_col).agg(F.count("*").alias("n_passages"))
+    dup_per_doc = (
+        per_passage.join(dup_fp, "fp")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_passages"))
+    )
+    return per_doc.join(dup_per_doc, id_col)

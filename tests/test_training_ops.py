@@ -741,3 +741,116 @@ def test_dup_clusters_incremental_matches_full(spark, tmp_path):
     assert got[12] == 5 and got[21] == 5 and got[100] == 5  # merged + relabeled
     assert got[200] == 200 and got[201] == 200
     assert 30 not in got  # untouched singleton never enters
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation operators (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+_LOREM = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+
+
+def test_decontaminate_flags_13gram_overlap(spark):
+    from sqllog_analysis_spark.operators import corpus as CP
+
+    # train doc 1 contains the eval doc's full 20-word text (so every one
+    # of its 13-grams); train doc 2 shares nothing
+    train = spark.createDataFrame(
+        [
+            (1, "intro words " + _LOREM + " closing words"),
+            (2, "totally unrelated content " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, _LOREM)], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hits"] for r in CP.decontaminate(train, ev).collect()}
+    # eval doc has 20 words → 8 distinct 13-grams, all present in doc 1
+    assert out == {1: 8}
+
+
+def test_decontaminate_short_eval_doc_is_exact_match_only(spark):
+    from sqllog_analysis_spark.operators import corpus as CP
+
+    train = spark.createDataFrame(
+        [(1, "short eval text"), (2, "short eval text plus extra words")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "short eval text")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hits"] for r in CP.decontaminate(train, ev).collect()}
+    # <13-word eval doc degrades to its whole text as one shingle; only
+    # the train doc that is itself <13 words with identical text matches
+    assert out == {1: 1}
+
+
+def test_repetition_metrics_and_filter(spark):
+    from sqllog_analysis_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, _LOREM),
+            (3, "one"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in CP.repetition_filter(docs).collect()}
+    # all-same-word doc: 7/8 duplicate words, every 2-gram identical
+    assert rows[1]["dup_word_frac"] == 0.875
+    assert rows[1]["top_2gram_frac"] == 1.0
+    assert rows[1]["dup_3gram_frac"] == 1.0
+    assert rows[1]["keep"] is False
+    # all-distinct doc: zero repetition, kept
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_2gram_frac"] < 0.2
+    assert rows[2]["keep"] is True
+    # degenerate docs: no gram evidence → zeros, kept
+    for d in (3, 4):
+        assert rows[d]["top_2gram_frac"] == 0.0
+        assert rows[d]["dup_3gram_frac"] == 0.0
+        assert rows[d]["keep"] is True
+
+
+def test_stratified_sample_temperature_and_determinism(spark):
+    from sqllog_analysis_spark.operators import corpus as CP
+
+    # skewed strata: 160 docs in 'big', 20 in 'small'
+    rows = [(i, "big") for i in range(160)] + [(1000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = CP.stratified_sample(df, "src", alpha=0.5, target_frac=0.5, id_col="doc_id")
+    got = [(r["stratum"], r["doc_id"]) for r in out.collect()]
+    by_stratum = {}
+    for s, d in got:
+        by_stratum.setdefault(s, set()).add(d)
+    # alpha<1 up-weights the small stratum: its sampled FRACTION must
+    # exceed the big stratum's
+    frac_small = len(by_stratum["small"]) / 20
+    frac_big = len(by_stratum["big"]) / 160
+    assert frac_small > frac_big
+    # overall take is in the neighborhood of target_frac
+    assert 0.3 <= len(got) / 180 <= 0.7
+    # deterministic: a second run yields the identical id set
+    again = [(r["stratum"], r["doc_id"]) for r in out.collect()]
+    assert sorted(again) == sorted(got)
+
+
+def test_passage_stats_cross_doc(spark):
+    from sqllog_analysis_spark.operators import corpus as CP
+
+    shared = _LOREM  # 20 words → passages [w1..w10], [w11..w20]
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one two three four five six seven eight nine"),
+            (2, shared),
+            (3, "entirely different words " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in CP.passage_stats(docs).collect()}
+    # docs 1 and 2 share both 10-token passages of `shared`; doc 3 shares none
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_passages"] == 3 and rows[1]["n_dup_passages"] == 2
+    assert rows[2]["n_passages"] == 2 and rows[2]["n_dup_passages"] == 2
