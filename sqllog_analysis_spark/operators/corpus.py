@@ -11,7 +11,7 @@ the shuffle shape that survives 100 TB (see the per-function notes).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sqllog_analysis_spark.operators.dedup import _shingles
 
@@ -236,12 +236,12 @@ def passage_stats(
     containing at least one duplicated passage — the candidates for
     passage-level clipping.
 
-    Scale shape: two key-grouped shuffles (fingerprint → doc), the
-    canonical MapReduce dedup profile.  Passages are fingerprinted
-    map-side (16-byte keys shuffle, never the text), the per-fingerprint
-    aggregate is partial (map-side combine), and boilerplate hot keys
-    spread across doc-id salts naturally because the first groupBy key
-    is the fingerprint itself.
+    Scale shape: ONE scan of the corpus and two key-grouped shuffles
+    (fingerprint → doc), the canonical MapReduce dedup profile.  The
+    per-fingerprint document count is a window over the fingerprint
+    partitioning (not a groupBy + join back, which would re-scan and
+    re-shuffle the corpus twice more); passages are md5-fingerprinted
+    map-side so 32-byte keys shuffle, never the text.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n_p = F.floor(F.size(toks) / passage_tokens).cast("int")
@@ -258,16 +258,13 @@ def passage_stats(
     per_passage = df.select(
         F.col(id_col), F.explode(F.array_distinct(passages)).alias("fp")
     )
-    dup_fp = (
-        per_passage.groupBy("fp")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("fp")
-    )
-    per_doc = per_passage.groupBy(id_col).agg(F.count("*").alias("n_passages"))
-    dup_per_doc = (
-        per_passage.join(dup_fp, "fp")
+    n_docs = F.count("*").over(Window.partitionBy("fp"))
+    return (
+        per_passage.withColumn("dup", (n_docs >= 2).cast("long"))
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_passages"))
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum("dup").alias("n_dup_passages"),
+        )
+        .filter(F.col("n_dup_passages") >= 1)
     )
-    return per_doc.join(dup_per_doc, id_col)
