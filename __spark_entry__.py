@@ -1420,8 +1420,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, bk,
                        unnest(CASE WHEN len(w) >= 13 THEN
                            list_transform(generate_series(1, len(w) - 12),
-                                          i -> array_to_string(w[i:i + 12], ' '))
-                       ELSE [array_to_string(w, ' ')] END) AS g
+                                          i -> md5(array_to_string(w[i:i + 12], ' ')))
+                       ELSE [md5(array_to_string(w, ' '))] END) AS g
                 FROM d
             ), ev AS (SELECT DISTINCT g FROM sh WHERE bk >= 95)
             SELECT s.doc_id, COUNT(DISTINCT s.g) AS n_hits

@@ -49,6 +49,10 @@ HEADLINE = [
     "lsh_near_dup",
     "sample_split",
     "seq_packing",
+    "decontaminate",
+    "repetition_filter",
+    "stratified_sample",
+    "passage_stats",
 ]
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from sqllog_analysis_spark.operators.dedup import _shingles
+from sqllog_analysis_spark.operators.dedup import _shingles, _spread_compact_input
 
 
 # ---------------------------------------------------------------------------
@@ -40,15 +40,20 @@ def decontaminate(
     train side explodes its (per-doc deduped) shingles map-side, the
     broadcast hash join keeps only matching grams, and the final groupBy
     shuffles just the hits (a vanishing fraction of the corpus).  No
-    all-pairs, no big-side shuffle.
+    all-pairs, no big-side shuffle.  Shingles are md5-hashed map-side so
+    the broadcast table and join probes carry 32-byte keys instead of
+    ~90-byte 13-gram strings (exactness up to md5 collisions, the same
+    guarantee every fingerprint in this engine rides on).
     """
-    ev = (
-        eval_df.select(F.explode(_shingles(text_col, shingle_k)).alias("g"))
-        .distinct()
+    md5_grams = F.transform(
+        _shingles(text_col, shingle_k), lambda g: F.md5(g)
     )
-    tr = train.select(
+    ev = eval_df.select(F.explode(md5_grams).alias("g")).distinct()
+    # shingle hashing is CPU-bound: make sure a compact (single-file)
+    # input doesn't pin the whole stage to one core
+    tr = _spread_compact_input(train).select(
         F.col(id_col),
-        F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("g"),
+        F.explode(F.array_distinct(md5_grams)).alias("g"),
     )
     return (
         tr.join(F.broadcast(ev), "g")
@@ -89,6 +94,7 @@ def repetition_metrics(
     executor core; repetition signals saturate long before 2000 tokens.
     No shuffle, no Python — this is a projection even at 100 TB.
     """
+    df = _spread_compact_input(df)
     toks = F.slice(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), 1, max_tokens
     )
@@ -182,7 +188,7 @@ def stratified_sample(
     Returns the input rows + ``stratum`` for the sampled subset.
     """
     s = strata if isinstance(strata, Column) else F.col(strata)
-    base = df.withColumn("stratum", s)
+    base = _spread_compact_input(df).withColumn("stratum", s)
     counts = base.groupBy("stratum").agg(F.count("*").alias("c"))
     tot = counts.agg(
         F.sum("c").alias("total"), F.sum(F.pow("c", alpha)).alias("sum_w")
@@ -243,6 +249,7 @@ def passage_stats(
     re-shuffle the corpus twice more); passages are md5-fingerprinted
     map-side so 32-byte keys shuffle, never the text.
     """
+    df = _spread_compact_input(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n_p = F.floor(F.size(toks) / passage_tokens).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_p - 1, F.lit(0)))
