@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sqllog_analysis_spark.functions import text as TX  # noqa: E402
 from sqllog_analysis_spark.operators import corpus as CP  # noqa: E402
 from sqllog_analysis_spark.operators import dedup as DD  # noqa: E402
+from sqllog_analysis_spark.functions import pii as PII  # noqa: E402
 from sqllog_analysis_spark.operators import multimodal as MM  # noqa: E402
 from sqllog_analysis_spark.operators import sampling as SMP  # noqa: E402
 from sqllog_analysis_spark.operators import similarity as SIM  # noqa: E402
@@ -642,6 +643,81 @@ def q_passage_stats(spark, sf_dir):
     return CP.passage_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _pii_synth(spark, sf_dir) -> DataFrame:
+    """documents with deterministic PII planted from doc_id (the corpus has
+    none), so extraction/redaction is genuinely exercised and the DuckDB
+    oracle can rebuild the identical text."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact "), F.substring(h, 1, 6),
+        F.lit("@mail-"), F.substring(h, 7, 2), F.lit(".org"),
+        F.lit(" from 10."), (F.col("doc_id") % 251).cast("string"),
+        F.lit("."), (F.col("doc_id") % 13).cast("string"), F.lit(".7"),
+        F.lit(" call +1 (206) 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" see https://"), F.substring(h, 9, 5),
+        F.lit(".example.com/d/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" and https://docs.example.org/x"))
+        .otherwise(F.lit(" end")),
+    )
+    return d.select("doc_id", synth.alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction: email/IPv4/phone counts and the scrubbed
+    text, all narrow column regexes (functions/pii.py). Reference analog:
+    the engine's scalar regex functions (F1/F2) applied to a curation
+    concern the reference doesn't ship but every training pipeline needs."""
+    s = _pii_synth(spark, sf_dir)
+    return (
+        s.select(
+            "doc_id",
+            PII.email_count("text").alias("n_emails"),
+            PII.ipv4_count("text").alias("n_ips"),
+            PII.phone_count("text").alias("n_phones"),
+            PII.scrub_pii("text").alias("scrubbed"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def q_url_extract(spark, sf_dir):
+    """URL/domain extraction + blocklist flagging. The blocklist join is a
+    BROADCAST semi-join on exploded domains (at 100 TB the blocklist is
+    millions of rows — a join, never an IN-literal); the corpus side never
+    shuffles."""
+    s = _pii_synth(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [("docs.example.org",), ("spam.example.net",)], "domain string"
+    )
+    doms = s.select(
+        "doc_id",
+        PII.url_domains("text").alias("ds"),
+        F.size(PII.extract_urls("text")).alias("n_urls"),
+    )
+    flagged = (
+        doms.select("doc_id", F.explode("ds").alias("domain"))
+        .join(F.broadcast(blocked), "domain", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return (
+        doms.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(",", "ds").alias("domains"),
+            "n_urls",
+            F.coalesce("blocked", F.lit(False)).alias("blocked"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 # ---------------------------------------------------------------------------
 # The transcript pipeline itself (rows-only: not a pre-registered view)
 # ---------------------------------------------------------------------------
@@ -715,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "passage_stats": q_passage_stats,
+        "pii_scrub": q_pii_scrub,
+        "url_extract": q_url_extract,
         "lsh_near_dup": q_lsh_near_dup,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
@@ -1120,8 +1198,68 @@ _COSINE_TOPK_SQL = """
 """
 
 
+# Mirror of _pii_synth: identical deterministic text in DuckDB. Built by
+# concatenation (not f-string) because the PII regexes contain {m,n} braces.
+_PII_SYNTH_SQL = """
+    synth AS (
+        SELECT doc_id,
+               substr(text, 1, 40)
+               || ' contact ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+               || '@mail-' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 2) || '.org'
+               || ' from 10.' || CAST(doc_id % 251 AS VARCHAR)
+               || '.' || CAST(doc_id % 13 AS VARCHAR) || '.7'
+               || ' call +1 (206) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' see https://' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 5)
+               || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN ' and https://docs.example.org/x'
+                       ELSE ' end' END AS text
+        FROM documents
+    )
+"""
+
+
+def _pii_scrub_sql() -> str:
+    return (
+        "WITH " + _PII_SYNTH_SQL + """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '""" + PII.EMAIL_RE + """')) AS n_emails,
+               len(regexp_extract_all(text, '""" + PII.IPV4_RE + """')) AS n_ips,
+               len(regexp_extract_all(text, '""" + PII.PHONE_RE + """')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '""" + PII.EMAIL_RE + """', '<EMAIL>', 'g'),
+                   '""" + PII.IPV4_RE + """', '<IP>', 'g'),
+                   '""" + PII.PHONE_RE + """', '<PHONE>', 'g') AS scrubbed
+        FROM synth ORDER BY doc_id LIMIT 200
+        """
+    )
+
+
+def _url_extract_sql() -> str:
+    return (
+        "WITH " + _PII_SYNTH_SQL + """,
+        u AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       regexp_extract_all(text, '""" + PII.URL_RE + """'),
+                       x -> regexp_extract(x, '""" + PII._DOMAIN_FROM_URL_RE + """', 1)))) AS ds,
+                   len(regexp_extract_all(text, '""" + PII.URL_RE + """')) AS n_urls
+            FROM synth
+        ),
+        ex AS (SELECT doc_id, unnest(ds) AS domain FROM u),
+        bl(domain) AS (VALUES ('docs.example.org'), ('spam.example.net')),
+        fl AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bl USING (domain))
+        SELECT u.doc_id, array_to_string(ds, ',') AS domains, n_urls,
+               (fl.doc_id IS NOT NULL) AS blocked
+        FROM u LEFT JOIN fl ON u.doc_id = fl.doc_id
+        ORDER BY u.doc_id LIMIT 200
+        """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_scrub": _pii_scrub_sql(),
+        "url_extract": _url_extract_sql(),
         **_pipeline_oracle_sql(),
         "media_features": _media_features_sql(),
         "minhash_lsh": _minhash_lsh_sql(16, 4, 3, 200),
