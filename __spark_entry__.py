@@ -718,6 +718,37 @@ def q_url_extract(spark, sf_dir):
     )
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Fixed-token overlapping chunking (32-token windows, stride 24) —
+    ONE scan, zero shuffles (operators/corpus.py::chunk_documents)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return CP.chunk_documents(d, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_quota_sample(spark, sf_dir):
+    """Per-source quota sampling (cap 50): md5-hash pre-filter bounds the
+    window sort per group (operators/corpus.py::quota_sample)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CP.quota_sample(d, group_col="source", cap=50)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms, smooth idf, deterministic tie-break
+    (operators/corpus.py::tfidf_top_terms)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        CP.tfidf_top_terms(d, top_k=3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # The transcript pipeline itself (rows-only: not a pre-registered view)
 # ---------------------------------------------------------------------------
@@ -793,6 +824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_stats": q_passage_stats,
         "pii_scrub": q_pii_scrub,
         "url_extract": q_url_extract,
+        "doc_chunking": q_doc_chunking,
+        "quota_sample": q_quota_sample,
+        "tfidf_topterms": q_tfidf_topterms,
         "lsh_near_dup": q_lsh_near_dup,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
@@ -1260,6 +1294,64 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_scrub": _pii_scrub_sql(),
         "url_extract": _url_extract_sql(),
+        # chunking: stride 24 = 32 - 8; slice/arith integer-exact
+        "doc_chunking": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents WHERE doc_id < 200 AND trim(text) <> ''
+            ), st AS (
+                SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(s // 24 AS INT) AS chunk_idx,
+                   CAST(LEAST(32, len(w) - s) AS INT) AS n_chunk_tokens,
+                   array_to_string(w[s + 1:s + 32], ' ') AS chunk_text
+            FROM st ORDER BY doc_id, chunk_idx
+        """,
+        "quota_sample": """
+            WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+            th AS (
+                SELECT source,
+                       CAST(floor(round(least(1.0, 4.0 * 50 / c) * 10000, 9)) AS BIGINT) AS thresh
+                FROM c
+            ), pre AS (
+                SELECT d.source, d.doc_id FROM documents d JOIN th USING (source)
+                WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 < th.thresh
+            ), rk AS (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+                FROM pre
+            )
+            SELECT source, doc_id FROM rk WHERE r <= 50 ORDER BY source, doc_id
+        """,
+        "tfidf_topterms": r"""
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                FROM d
+            ), t2 AS (SELECT doc_id, term FROM t WHERE len(term) >= 3),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY doc_id, term),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM d),
+            sc AS (
+                SELECT doc_id, term, tf,
+                       COUNT(*) OVER (PARTITION BY term) AS df_docs
+                FROM tf
+            ), s2 AS (
+                SELECT doc_id, term, tf, df_docs,
+                       ROUND(tf * (ln((n.n + 1.0) / (df_docs + 1.0)) + 1.0), 6) AS score
+                FROM sc, n
+            ), r AS (
+                SELECT *, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rnk
+                FROM s2
+            )
+            SELECT doc_id, term, tf, df_docs, score, rnk
+            FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
         **_pipeline_oracle_sql(),
         "media_features": _media_features_sql(),
         "minhash_lsh": _minhash_lsh_sql(16, 4, 3, 200),

@@ -53,6 +53,9 @@ HEADLINE = [
     "repetition_filter",
     "stratified_sample",
     "passage_stats",
+    "pii_scrub",
+    "url_extract",
+    "quota_sample",
 ]
 
 

@@ -275,3 +275,158 @@ def passage_stats(
         )
         .filter(F.col("n_dup_passages") >= 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-token chunking (training/RAG passage prep)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping ``chunk_tokens``-word windows
+    (stride ``chunk_tokens - overlap``) — the standard passage shape for
+    pretraining sequence assembly and RAG indexing.
+
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk_text), one row per
+    chunk; whitespace-only documents produce no chunks.
+
+    Scale shape: a pure narrow projection + explode — ONE corpus scan,
+    ZERO shuffles; chunk boundaries depend only on the row itself, so the
+    operator keeps whatever partitioning the scan provides and runs at
+    scan speed at 100 TB.  All arithmetic is integer-exact, so any engine
+    reproduces the exact chunk set (mirrored in the DuckDB oracle).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    starts = F.when(
+        F.trim(F.col(text_col)) == "", F.expr("CAST(array() AS array<int>)")
+    ).otherwise(F.sequence(F.lit(0), n - 1, F.lit(stride)))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_idx", "c.n_chunk_tokens", "c.chunk_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group quota sampling (source-balance caps)
+# ---------------------------------------------------------------------------
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per ``group_col`` value, selected
+    deterministically by md5-hash order of the id (so re-runs, resumes,
+    and foreign engines agree on the exact kept set — unlike rand()).
+
+    Scale shape: the naive rank-per-group window would sort EVERY group's
+    full membership — a mega-group (one source with 10^10 docs at 100 TB)
+    becomes a single straggler task.  Instead, two phases:
+
+    1. A tiny per-group count aggregate (broadcast back) sets an md5
+       bucket-threshold pre-filter ``rate ≈ 4·cap/c`` that shrinks every
+       group to ~4·cap EXPECTED survivors (the 4× margin makes an
+       under-``cap`` survivor set vanishingly unlikely for real caps;
+       the deterministic hash means every engine keeps the same set), so
+    2. the exact row_number ≤ cap window runs over bounded groups only.
+
+    Phase 1 is row-local (no shuffle of the corpus); only the ~O(cap) pre-
+    survivors per group shuffle into the window sort.  The pre-filter rate
+    rounds at 9 dp before floor so every engine floors identically.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("c"))
+    thresh = counts.select(
+        group_col,
+        F.floor(
+            F.round(
+                F.least(F.lit(1.0), 4.0 * cap / F.col("c")) * buckets, 9
+            )
+        ).alias("thresh"),
+    )
+    pre = df.join(F.broadcast(thresh), group_col).filter(
+        F.pmod(h, F.lit(buckets)) < F.col("thresh")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        pre.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .drop("rk", "thresh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_k`` TF-IDF terms (smooth idf:
+    ``ln((N+1)/(df+1)) + 1``) — the classic relevance profile used for
+    topic tagging and near-dup triage.  Ties break by term asc so the
+    result set is total-order deterministic; scores round to 6 dp for
+    cross-engine float agreement.
+
+    Returns (id_col, term, tf, df_docs, score, rank).
+
+    Scale shape: explode → ONE groupBy (term, doc) for tf, document
+    frequency as a window over the term partitioning (no second corpus
+    scan or join-back), then the per-doc top-k window over (doc) — the
+    same two-exchange profile as passage_stats.  Terms are lowercased
+    word tokens ≥ ``min_term_len`` chars; the term dictionary is never
+    collected to the driver.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    terms = df.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).filter(F.length("term") >= min_term_len)
+    # corpus size as a lazy broadcast scalar — no eager driver action
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_corpus"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_docs = F.count("*").over(Window.partitionBy("term"))
+    scored = (
+        tf.withColumn("df_docs", df_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_corpus") + 1.0) / (F.col("df_docs") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+        .drop("n_corpus")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )

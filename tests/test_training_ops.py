@@ -854,3 +854,66 @@ def test_passage_stats_cross_doc(spark):
     assert set(rows) == {1, 2}
     assert rows[1]["n_passages"] == 3 and rows[1]["n_dup_passages"] == 2
     assert rows[2]["n_passages"] == 2 and rows[2]["n_dup_passages"] == 2
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from sqllog_analysis_spark.operators import corpus as CP
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "one two"), (3, "   "), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = CP.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stride 3 over 10 tokens → starts 0,3,6,9
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w3 w4 w5 w6"
+    assert c1[3].chunk_text == "w9" and c1[3].n_chunk_tokens == 1
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    assert c1[0].chunk_text.split()[-1:] == c1[1].chunk_text.split()[:1]
+    assert by_doc[2][0].chunk_text == "one two"
+    assert 3 not in by_doc  # whitespace-only doc yields no chunks
+    assert by_doc[4][0].n_chunk_tokens == 1
+
+
+def test_quota_sample_caps_and_is_deterministic(spark):
+    from sqllog_analysis_spark.operators import corpus as CP
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(420)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = CP.quota_sample(df, group_col="source", cap=25)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["big"] == 25          # capped
+    assert per["small"] == 20        # under cap → kept whole
+    # deterministic: same kept set on re-run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in CP.quota_sample(df, group_col="source", cap=25).collect())
+    assert ids1 == ids2
+
+
+def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
+    from sqllog_analysis_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare-alpha rare-alpha"),
+            (2, "common filler filler"),
+            (3, "common filler other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = CP.tfidf_top_terms(docs, top_k=2)
+    top1 = {r.doc_id: r.term for r in out.filter(F.col("rank") == 1).collect()}
+    # tf=2 'rare-alpha' (df 1) scores 2·(ln(4/2)+1) ≈ 3.39, beating
+    # tf=1 'common' (df 3, score 2·(ln(4/4)+1)/2 = 1.0) for doc 1
+    assert top1[1] == "rare-alpha"
+    # doc 2: tf=2 'filler' (df 2) beats tf=1 'common' (df 3)
+    assert top1[2] == "filler"
+    r1 = out.filter((F.col("doc_id") == 1) & (F.col("rank") == 1)).first()
+    assert r1.df_docs == 1 and r1.tf == 2
