@@ -718,6 +718,32 @@ def q_url_extract(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: each event matched to the user's most recent
+    purchase at-or-before its timestamp (operators/asof.py::asof_join,
+    union-tag + running window — one shuffle, no range cross-join).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from sqllog_analysis_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("ref_id"),
+            F.round(F.sum("value"), 6).alias("ref_value"),
+        )
+    )
+    j = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on="user_id",
+    )
+    return j.select(
+        "event_id", "user_id", "event_type", "ref_id", "ref_value"
+    ).orderBy("event_id")
+
+
 def q_doc_chunking(spark, sf_dir):
     """Fixed-token overlapping chunking (32-token windows, stride 24) —
     ONE scan, zero shuffles (operators/corpus.py::chunk_documents)."""
@@ -824,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_stats": q_passage_stats,
         "pii_scrub": q_pii_scrub,
         "url_extract": q_url_extract,
+        "asof_join": q_asof_join,
         "doc_chunking": q_doc_chunking,
         "quota_sample": q_quota_sample,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1294,6 +1321,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_scrub": _pii_scrub_sql(),
         "url_extract": _url_extract_sql(),
+        "asof_join": """
+            WITH r AS (
+                SELECT user_id, ts, MAX(event_id) AS ref_id,
+                       ROUND(SUM(value), 6) AS ref_value
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, l.event_type, r.ref_id, r.ref_value
+            FROM events l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
         # chunking: stride 24 = 32 - 8; slice/arith integer-exact
         "doc_chunking": r"""
             WITH d AS (

@@ -56,6 +56,7 @@ HEADLINE = [
     "pii_scrub",
     "url_extract",
     "quota_sample",
+    "asof_join",
 ]
 
 

@@ -917,3 +917,65 @@ def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
     assert top1[2] == "filler"
     r1 = out.filter((F.col("doc_id") == 1) & (F.col("rank") == 1)).first()
     assert r1.df_docs == 1 and r1.tf == 2
+
+
+def _asof_fixture(spark):
+    from datetime import datetime as DT
+
+    left = spark.createDataFrame(
+        [
+            (1, "u", DT(2025, 1, 1, 0, 0, 10)),
+            (2, "u", DT(2025, 1, 1, 0, 0, 20)),
+            (3, "u", DT(2025, 1, 1, 0, 0, 5)),
+            (4, "v", DT(2025, 1, 1, 0, 0, 30)),
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", DT(2025, 1, 1, 0, 0, 10), 100),  # exact tie with event 1
+            ("u", DT(2025, 1, 1, 0, 0, 18), 200),
+            ("v", DT(2025, 1, 1, 0, 0, 40), 300),
+        ],
+        "user_id string, ts timestamp, ref long",
+    )
+    return left, right
+
+
+def test_asof_join_backward_exact_tie_and_miss(spark):
+    from sqllog_analysis_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = {r.event_id: r.ref for r in asof_join(left, right, on="user_id").collect()}
+    assert out[1] == 100   # tie at :10 matches (>= semantics)
+    assert out[2] == 200   # most recent ≤ :20 is :18
+    assert out[3] is None  # :5 precedes all right rows
+    assert out[4] is None  # v's only right row is later
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from sqllog_analysis_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    fwd = {r.event_id: r.ref
+           for r in asof_join(left, right, on="user_id", direction="forward").collect()}
+    assert fwd == {1: 100, 2: None, 3: 100, 4: 300}
+    tol = {r.event_id: r.ref
+           for r in asof_join(left, right, on="user_id", tolerance_seconds=3).collect()}
+    assert tol == {1: 100, 2: 200, 3: None, 4: None}  # :18→:20 within 3 s
+
+
+def test_asof_join_dedupe_right_keeps_greatest_payload(spark):
+    from datetime import datetime as DT
+
+    from sqllog_analysis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", DT(2025, 1, 1, 0, 1, 0))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", DT(2025, 1, 1, 0, 0, 0), 5), ("u", DT(2025, 1, 1, 0, 0, 0), 9)],
+        "user_id string, ts timestamp, ref long",
+    )
+    out = asof_join(left, right, on="user_id", dedupe_right=True).collect()
+    assert out[0].ref == 9
