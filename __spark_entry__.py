@@ -744,6 +744,31 @@ def q_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_interval_join(spark, sf_dir):
+    """Range join: clicks inside 6-hour post-error windows per user
+    (operators/rangejoin.py::interval_join — time-bucket equi-join +
+    exact refinement, never a nested-loop theta join). Oracle: DuckDB
+    theta join."""
+    from sqllog_analysis_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 21600 SECONDS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(clicks, errors, on="user_id", bucket_seconds=21600)
+    return (
+        j.groupBy("err_id")
+        .agg(F.count("*").alias("n_clicks"), F.max("event_id").alias("last_click"))
+        .orderBy("err_id")
+    )
+
+
 def q_doc_chunking(spark, sf_dir):
     """Fixed-token overlapping chunking (32-token windows, stride 24) —
     ONE scan, zero shuffles (operators/corpus.py::chunk_documents)."""
@@ -851,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_extract": q_url_extract,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "doc_chunking": q_doc_chunking,
         "quota_sample": q_quota_sample,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1331,6 +1357,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events l ASOF LEFT JOIN r
                 ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id
+        """,
+        "interval_join": """
+            WITH e AS (
+                SELECT event_id AS err_id, user_id, ts AS s,
+                       ts + INTERVAL 21600 SECOND AS en
+                FROM events WHERE event_type = 'error'
+            ), c AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT err_id, COUNT(*) AS n_clicks, MAX(event_id) AS last_click
+            FROM c JOIN e ON c.user_id = e.user_id
+                         AND c.ts >= e.s AND c.ts <= e.en
+            GROUP BY err_id ORDER BY err_id
         """,
         # chunking: stride 24 = 32 - 8; slice/arith integer-exact
         "doc_chunking": r"""

@@ -57,6 +57,7 @@ HEADLINE = [
     "url_extract",
     "quota_sample",
     "asof_join",
+    "interval_join",
 ]
 
 

@@ -91,8 +91,10 @@ def asof_join(
     filled = u.select("*", carried.alias("_m")).filter(F.col(_TAG) == 1)
     ok = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
+        # NTZ-safe numeric distance (Spark 4 forbids NTZ→numeric direct)
         dist = F.abs(
-            F.col(_TS).cast("double") - F.col("_m._mts").cast("double")
+            F.col(_TS).cast("timestamp").cast("double")
+            - F.col("_m._mts").cast("timestamp").cast("double")
         )
         ok = ok & (dist <= tolerance_seconds)
     payload = [F.when(ok, F.col(f"_m.{c}")).alias(c) for c in rcols]

@@ -979,3 +979,47 @@ def test_asof_join_dedupe_right_keeps_greatest_payload(spark):
     )
     out = asof_join(left, right, on="user_id", dedupe_right=True).collect()
     assert out[0].ref == 9
+
+
+def test_interval_join_boundaries_overlap_and_bucket_spanning(spark):
+    from datetime import datetime as DT
+
+    from sqllog_analysis_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u", DT(2025, 1, 1, 0, 0, 0)),    # == start (inclusive)
+            (2, "u", DT(2025, 1, 1, 0, 10, 0)),   # == end (inclusive)
+            (3, "u", DT(2025, 1, 1, 0, 10, 1)),   # 1 s past win 10's end
+            (4, "u", DT(2025, 1, 1, 2, 0, 0)),    # inside the long window only
+            (5, "w", DT(2025, 1, 1, 0, 5, 0)),    # wrong key
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", 10, DT(2025, 1, 1, 0, 0, 0), DT(2025, 1, 1, 0, 10, 0)),
+            # long window spans MANY 60 s buckets and overlaps the first
+            ("u", 20, DT(2025, 1, 1, 0, 5, 0), DT(2025, 1, 1, 3, 0, 0)),
+        ],
+        "user_id string, win_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join(left, right, on="user_id", bucket_seconds=60)
+    got = sorted((r.event_id, r.win_id) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (2, 20), (3, 20), (4, 20)]
+
+
+def test_interval_join_rejects_column_collision(spark):
+    from datetime import datetime as DT
+
+    from sqllog_analysis_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "u", DT(2025, 1, 1))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", 1, DT(2025, 1, 1), DT(2025, 1, 2))],
+        "user_id string, event_id long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, on="user_id")
