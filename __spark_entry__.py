@@ -744,6 +744,35 @@ def q_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (10-min width, 5-min slide) via Spark's
+    native window() — each event lands in exactly two epoch-aligned
+    windows; oracle rebuilds them with time_bucket + a shifted union."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+        .orderBy("win_start")
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact percentiles per group (Spark `percentile` ≡ DuckDB
+    quantile_cont — both linear interpolation; verified bit-equal at 6 dp)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """Range join: clicks inside 6-hour post-error windows per user
     (operators/rangejoin.py::interval_join — time-bucket equi-join +
@@ -877,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_extract": q_url_extract,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "sliding_window": q_sliding_window,
+        "quantiles": q_quantiles,
         "doc_chunking": q_doc_chunking,
         "quota_sample": q_quota_sample,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1370,6 +1401,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN e ON c.user_id = e.user_id
                          AND c.ts >= e.s AND c.ts <= e.en
             GROUP BY err_id ORDER BY err_id
+        """,
+        "sliding_window": """
+            WITH b AS (
+                SELECT time_bucket(INTERVAL '5 minutes', ts) AS s1, value
+                FROM events
+            ), x AS (
+                SELECT s1 AS win_start, value FROM b
+                UNION ALL
+                SELECT s1 - INTERVAL '5 minutes' AS win_start, value FROM b
+            )
+            SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM x GROUP BY win_start ORDER BY win_start
+        """,
+        "quantiles": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # chunking: stride 24 = 32 - 8; slice/arith integer-exact
         "doc_chunking": r"""
