@@ -58,6 +58,8 @@ HEADLINE = [
     "quota_sample",
     "asof_join",
     "interval_join",
+    "sliding_window",
+    "quantiles",
 ]
 
 
