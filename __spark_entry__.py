@@ -744,6 +744,40 @@ def q_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_pivot_events(spark, sf_dir):
+    """Pivot (long→wide): per-user event counts, one column per type.
+    Explicit value list keeps the plan single-pass (no distinct-values
+    pre-scan) — the form that scales."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+def q_window_ranks(spark, sf_dir):
+    """Ranking window functions (row_number / percent_rank / ntile) with a
+    total-order tiebreak, top-50 per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 50)
+        .orderBy("user_id", "rn")
+    )
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding event-time windows (10-min width, 5-min slide) via Spark's
     native window() — each event lands in exactly two epoch-aligned
@@ -908,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "sliding_window": q_sliding_window,
         "quantiles": q_quantiles,
+        "pivot_events": q_pivot_events,
+        "window_ranks": q_window_ranks,
         "doc_chunking": q_doc_chunking,
         "quota_sample": q_quota_sample,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1420,6 +1456,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.9), 6) AS p90,
                    ROUND(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "window_ranks": """
+            SELECT event_id, user_id, rn, pr, quartile FROM (
+                SELECT event_id, user_id,
+                       CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+                       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+                       CAST(NTILE(4) OVER w AS INT) AS quartile
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+            ) WHERE rn <= 50 ORDER BY user_id, rn
         """,
         # chunking: stride 24 = 32 - 8; slice/arith integer-exact
         "doc_chunking": r"""
