@@ -1023,3 +1023,53 @@ def test_interval_join_rejects_column_collision(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         interval_join(left, right, on="user_id")
+
+
+def test_asof_join_bucketed_equals_plain_on_random_corpus(spark):
+    from datetime import datetime as DT, timedelta
+
+    from sqllog_analysis_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rng = np.random.default_rng(7)
+    base = DT(2025, 1, 1)
+    left = [
+        (i, f"u{rng.integers(0, 5)}", base + timedelta(seconds=int(rng.integers(0, 50_000))))
+        for i in range(400)
+    ]
+    # unique (key, ts) on the right: deterministic distinct offsets
+    right = [
+        (f"u{k}", base + timedelta(seconds=int(s)), int(k * 1000 + s))
+        for k in range(5)
+        for s in rng.choice(50_000, size=40, replace=False)
+    ]
+    ldf = spark.createDataFrame(left, "event_id long, user_id string, ts timestamp")
+    rdf = spark.createDataFrame(right, "user_id string, ts timestamp, ref long")
+    plain = {(r.event_id): r.ref for r in asof_join(ldf, rdf, on="user_id").collect()}
+    for bucket in (600, 3600, 100_000):  # incl. one bucket ≫ the whole span
+        bucketed = {
+            (r.event_id): r.ref
+            for r in asof_join_bucketed(
+                ldf, rdf, on="user_id", bucket_seconds=bucket
+            ).collect()
+        }
+        assert bucketed == plain, f"bucket={bucket}"
+
+
+def test_asof_join_bucketed_carry_in_across_empty_buckets(spark):
+    from datetime import datetime as DT
+
+    from sqllog_analysis_spark.operators.asof import asof_join_bucketed
+
+    # right row at t=0; left rows many EMPTY buckets later still match it
+    left = spark.createDataFrame(
+        [(1, "u", DT(2025, 1, 3, 12, 0, 0)), (2, "u", DT(2025, 1, 1, 0, 0, 0))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", DT(2025, 1, 1, 0, 0, 0), 42)],
+        "user_id string, ts timestamp, ref long",
+    )
+    out = {r.event_id: r.ref
+           for r in asof_join_bucketed(left, right, on="user_id",
+                                       bucket_seconds=600).collect()}
+    assert out == {1: 42, 2: 42}  # exact-tie AND 350-buckets-later carry
