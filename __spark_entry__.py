@@ -744,6 +744,26 @@ def q_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_event_sequences(spark, sf_dir):
+    """Order-preserving grouped assembly (the transcripts→training-doc
+    shape): per (user, day), the comma-joined event-type sequence in
+    (ts, event_id) order — collect_list of structs + array_sort gives a
+    deterministic total order without a global sort."""
+    e = _t(spark, sf_dir, "events")
+    seq = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+    )
+    return (
+        e.groupBy("user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(seq.alias("seq"), F.count("*").alias("n"))
+        .orderBy("user_id", "day")
+    )
+
+
 def q_pivot_events(spark, sf_dir):
     """Pivot (long→wide): per-user event counts, one column per type.
     Explicit value list keeps the plan single-pass (no distinct-values
@@ -944,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "pivot_events": q_pivot_events,
         "window_ranks": q_window_ranks,
+        "event_sequences": q_event_sequences,
         "doc_chunking": q_doc_chunking,
         "quota_sample": q_quota_sample,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1465,6 +1486,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "event_sequences": """
+            SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+                   COUNT(*) AS n
+            FROM events GROUP BY user_id, day ORDER BY user_id, day
         """,
         "window_ranks": """
             SELECT event_id, user_id, rn, pr, quartile FROM (
