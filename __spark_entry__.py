@@ -1509,7 +1509,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
                 FROM documents WHERE doc_id < 200 AND trim(text) <> ''
             ), st AS (
-                SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
+                -- last valid start n - overlap - 1 = len - 9: a shorter
+                -- tail would duplicate a fully-contained passage
+                SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 9, 0), 24)) AS s
                 FROM d
             )
             SELECT doc_id,

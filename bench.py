@@ -137,10 +137,10 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
 
     qs = entry_mod.queries()
-    # best-of-2 per query: the same one-sided host stalls the pipeline
-    # estimator guards against hit single-shot operator timings too (a
-    # 0.6 s query reads as 5 s in a stall window); the minimum is the
-    # machine's real capability, the same estimator as _time_pipeline.
+    # best-of-2 per query: one-sided host stalls inflate single-shot
+    # operator timings just as they inflate pipeline runs (a 0.6 s query
+    # reads as 5 s in a stall window), so operator queries use the same
+    # min-over-samples estimator as _time_pipeline.
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")

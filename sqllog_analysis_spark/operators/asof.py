@@ -31,6 +31,38 @@ from pyspark.sql import DataFrame, Window, functions as F
 _TAG = "_asof_tag"
 _TS = "_asof_ts"
 
+_RESERVED = (_TAG, _TS, "_m", "_bucket")
+
+
+def _checked_rcols(left, right, key, right_ts) -> list:
+    """Shared validation: right payload columns, name-clash and
+    reserved-scratch-name checks (both as-of variants use identical
+    rules, so they can never drift)."""
+    rcols = [c for c in right.columns if c not in (*key, right_ts)]
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+    if not rcols:
+        raise ValueError("right side has no payload columns")
+    bad = set(_RESERVED) & (set(left.columns) | set(right.columns))
+    if bad:
+        raise ValueError(
+            f"input columns collide with internal scratch names: {sorted(bad)}"
+        )
+    return rcols
+
+
+def _carried_struct(w, rcols):
+    """Running last-right-row carry: ONE struct holds (matched ts,
+    payload) so a NULL inside a right row's payload never falls back to
+    an older right row — the whole latest-qualifying row wins or none
+    does, exactly like a real join."""
+    return F.last(
+        F.when(F.col(_TAG) == 0, F.struct(F.col(_TS).alias("_mts"), *rcols)),
+        ignorenulls=True,
+    ).over(w)
+
+
 
 def asof_join(
     left: DataFrame,
@@ -51,12 +83,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     key = [on] if isinstance(on, str) else list(on)
-    rcols = [c for c in right.columns if c not in (*key, right_ts)]
-    clash = set(rcols) & set(left.columns)
-    if clash:
-        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
-    if not rcols:
-        raise ValueError("right side has no payload columns")
+    rcols = _checked_rcols(left, right, key, right_ts)
 
     r = right.select(*key, F.col(right_ts).alias(_TS), *rcols)
     if dedupe_right:
@@ -82,14 +109,9 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # ONE struct carries (matched ts, payload) so a NULL inside a right
-    # row's payload never falls back to an older right row — the whole
-    # latest-qualifying row wins or none does, exactly like a real join.
-    carried = F.last(
-        F.when(F.col(_TAG) == 0, F.struct(F.col(_TS).alias("_mts"), *rcols)),
-        ignorenulls=True,
-    ).over(w)
-    filled = u.select("*", carried.alias("_m")).filter(F.col(_TAG) == 1)
+    filled = u.select("*", _carried_struct(w, rcols).alias("_m")).filter(
+        F.col(_TAG) == 1
+    )
     ok = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
         # NTZ-safe numeric distance (Spark 4 forbids NTZ→numeric direct)
@@ -131,12 +153,7 @@ def asof_join_bucketed(
     unique per (key, ts) as in the unbucketed form.
     """
     key = [on] if isinstance(on, str) else list(on)
-    rcols = [c for c in right.columns if c not in (*key, right_ts)]
-    clash = set(rcols) & set(left.columns)
-    if clash:
-        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
-    if not rcols:
-        raise ValueError("right side has no payload columns")
+    rcols = _checked_rcols(left, right, key, right_ts)
     b = F.lit(int(bucket_seconds))
     bucket_of = lambda c: F.floor(c.cast("timestamp").cast("long") / b)  # noqa: E731
 
@@ -191,10 +208,8 @@ def asof_join_bucketed(
         .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = F.last(
-        F.when(F.col(_TAG) == 0, F.struct(F.col(_TS).alias("_mts"), *rcols)),
-        ignorenulls=True,
-    ).over(w)
-    filled = u.select("*", carried.alias("_m")).filter(F.col(_TAG) == 1)
+    filled = u.select("*", _carried_struct(w, rcols).alias("_m")).filter(
+        F.col(_TAG) == 1
+    )
     payload = [F.when(F.col("_m").isNotNull(), F.col(f"_m.{c}")).alias(c) for c in rcols]
     return filled.select(*left.columns, *payload)

@@ -16,6 +16,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from sqllog_analysis_spark.operators.dedup import _shingles, _spread_compact_input
 
 
+# Whitespace word tokenization shared by every corpus operator (the same
+# expression the dedup shingles and text functions use) — ONE definition
+# so token boundaries can never drift between operators and their oracles.
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
@@ -96,7 +103,7 @@ def repetition_metrics(
     """
     df = _spread_compact_input(df)
     toks = F.slice(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), 1, max_tokens
+        _tokens(text_col), 1, max_tokens
     )
     head = F.concat_ws(" ", toks)
     g2 = _shingles_of(head, 2)
@@ -250,7 +257,7 @@ def passage_stats(
     map-side so 32-byte keys shuffle, never the text.
     """
     df = _spread_compact_input(df)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _tokens(text_col)
     n_p = F.floor(F.size(toks) / passage_tokens).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_p - 1, F.lit(0)))
     passages = F.when(
@@ -293,7 +300,10 @@ def chunk_documents(
     pretraining sequence assembly and RAG indexing.
 
     Returns (id_col, chunk_idx, n_chunk_tokens, chunk_text), one row per
-    chunk; whitespace-only documents produce no chunks.
+    chunk; whitespace-only documents produce no chunks.  A start emits a
+    chunk only if it contributes at least one NEW token (the last valid
+    start is ``n - overlap - 1``) — otherwise a short tail would duplicate
+    a passage already fully contained in the previous chunk.
 
     Scale shape: a pure narrow projection + explode — ONE corpus scan,
     ZERO shuffles; chunk boundaries depend only on the row itself, so the
@@ -304,11 +314,13 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _tokens(text_col)
     n = F.size(toks)
     starts = F.when(
         F.trim(F.col(text_col)) == "", F.expr("CAST(array() AS array<int>)")
-    ).otherwise(F.sequence(F.lit(0), n - 1, F.lit(stride)))
+    ).otherwise(
+        F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
+    )
     chunks = F.transform(
         starts,
         lambda s, i: F.struct(
@@ -403,7 +415,7 @@ def tfidf_top_terms(
     word tokens ≥ ``min_term_len`` chars; the term dictionary is never
     collected to the driver.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _tokens(text_col)
     terms = df.select(
         F.col(id_col), F.explode(toks).alias("term")
     ).filter(F.length("term") >= min_term_len)

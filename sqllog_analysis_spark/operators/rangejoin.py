@@ -54,6 +54,8 @@ def interval_join(
     clash = (set(right.columns) - set(key)) & set(left.columns)
     if clash:
         raise ValueError(f"right columns collide with left: {sorted(clash)}")
+    if "_bucket" in (*left.columns, *right.columns):
+        raise ValueError("input columns collide with internal scratch name '_bucket'")
     b = F.lit(bucket_seconds)
     l_sec = epoch_seconds(F.col(left_ts))
     s_sec = epoch_seconds(F.col(start))

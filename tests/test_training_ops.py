@@ -868,12 +868,14 @@ def test_chunk_documents_windows_and_edges(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
-    # stride 3 over 10 tokens → starts 0,3,6,9
+    # stride 3 over 10 tokens → starts 0,3,6 (start 9 would add no new
+    # token — 'w9' is already inside the chunk starting at 6 — so it is
+    # suppressed rather than emitted as a duplicate passage)
     c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
-    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
     assert c1[0].chunk_text == "w0 w1 w2 w3"
     assert c1[1].chunk_text == "w3 w4 w5 w6"
-    assert c1[3].chunk_text == "w9" and c1[3].n_chunk_tokens == 1
+    assert c1[2].chunk_text == "w6 w7 w8 w9" and c1[2].n_chunk_tokens == 4
     # overlap invariant: consecutive chunks share exactly `overlap` tokens
     assert c1[0].chunk_text.split()[-1:] == c1[1].chunk_text.split()[:1]
     assert by_doc[2][0].chunk_text == "one two"
