@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sqllog_analysis_spark.functions import text as TX  # noqa: E402
 from sqllog_analysis_spark.operators import corpus as CP  # noqa: E402
 from sqllog_analysis_spark.operators import dedup as DD  # noqa: E402
+from sqllog_analysis_spark.operators import loganalytics as LA  # noqa: E402
 from sqllog_analysis_spark.functions import pii as PII  # noqa: E402
 from sqllog_analysis_spark.operators import multimodal as MM  # noqa: E402
 from sqllog_analysis_spark.operators import sampling as SMP  # noqa: E402
@@ -884,6 +885,92 @@ def q_tfidf_topterms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Query-log / event-analytics operators (operators/loganalytics.py)
+# ---------------------------------------------------------------------------
+
+def q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel: stacked conditional-MIN windows
+    over ONE user_id exchange (operators/loganalytics.py::funnel_counts)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.funnel_counts(e, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort × week-offset distinct-active users
+    (operators/loganalytics.py::cohort_retention)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.cohort_retention(e)
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 validity intervals of each user's event_type run-lengths
+    (operators/loganalytics.py::scd2_intervals)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.scd2_intervals(
+        e, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).orderBy("user_id", "valid_from")
+
+
+def q_dq_report(spark, sf_dir):
+    """One-scan Deequ-style constraint report over orders
+    (operators/loganalytics.py::dq_report)."""
+    o = _t(spark, sf_dir, "orders")
+    return LA.dq_report(
+        o,
+        {
+            "complete_custkey": F.col("o_custkey").isNotNull(),
+            "positive_price": F.col("o_totalprice") > 0,
+            "price_le_50k": F.col("o_totalprice") <= 50000,
+            "status_in_set": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_pattern": F.col("o_orderpriority").rlike(r"^[1-5]-"),
+        },
+    )
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy record linkage: prefix-blocked self-join + Levenshtein
+    ≤ 1 on customer names (operators/loganalytics.py::blocked_fuzzy_pairs)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return LA.blocked_fuzzy_pairs(
+        c, "c_custkey", "c_name", block_len=17, max_dist=1
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 documents for a 3-term query
+    (operators/loganalytics.py::bm25_rank)."""
+    d = _t(spark, sf_dir, "documents")
+    return LA.bm25_rank(d, ["scan", "hash", "merge"], top_k=20)
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (beyond rollup/cube): per-returnflag, per-
+    linestatus, and grand-total aggregates in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_sql_shapes(spark, sf_dir):
+    """pt-query-digest-style workload summary: top statement shapes of the
+    pipeline's parsed records by volume, with latency totals
+    (operators/loganalytics.py::sql_shape_digest).  Hard-oracle constants
+    (contract_expected.py) pin every row."""
+    g = _pipeline_graph(spark, sf_dir)
+    return LA.sql_shape_digest(g["routed"], top_k=15)
+
+
+# ---------------------------------------------------------------------------
 # The transcript pipeline itself (rows-only: not a pre-registered view)
 # ---------------------------------------------------------------------------
 
@@ -969,6 +1056,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "tfidf_topterms": q_tfidf_topterms,
         "lsh_near_dup": q_lsh_near_dup,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "scd2_intervals": q_scd2_intervals,
+        "dq_report": q_dq_report,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "bm25_topk": q_bm25_topk,
+        "grouping_sets": q_grouping_sets,
+        "sql_shapes": q_sql_shapes,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
         "pipeline_conv_buckets": q_pipeline_conv_buckets,
@@ -1066,6 +1161,48 @@ def _winnow_sql(k: int, w: int, hash_len: int, where: str) -> str:
             FROM g
         )
         SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp
+    """
+
+
+def _bm25_sql(terms: list[str], k1: float, b: float, top_k: int) -> str:
+    """DuckDB mirror of operators/loganalytics.py::bm25_rank.  Every
+    arithmetic sub-expression is written in the Spark side's exact
+    association order; all aggregate inputs (token counts, doc lengths)
+    are integers, so the doubles are bit-identical across engines."""
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = "\n                 + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1}))"
+        f" / (tf{i} + {k1} * ({1 - b} + ({b} * dl) / avgdl))"
+        for i in range(len(terms))
+    )
+    return rf"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents
+        ), base AS (
+            SELECT doc_id, len(w) AS dl,
+                   {tf_cols}
+            FROM d
+        ), st AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+                   {df_cols}
+            FROM base
+        ), sc AS (
+            SELECT doc_id,
+                   ROUND({score}, 6) AS score
+            FROM base, st
+        )
+        SELECT doc_id, score FROM sc WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT {top_k}
     """
 
 
@@ -1265,7 +1402,18 @@ def _pipeline_oracle_sql(n_turns: int = _CONTRACT_N_TURNS) -> dict[str, str]:
         f"('{c}', {n}, {m if m is not None else 'NULL'})"
         for c, n, m in e["conv_buckets_by_category"]
     )
+    ss_vals = ", ".join(
+        "('{}', {}, {}, {})".format(s.replace("'", "''"), n, nt, tot)
+        for s, n, nt, tot in e["sql_shapes_top15"]
+    )
     return {
+        "sql_shapes": f"""
+            SELECT shape, CAST(n AS BIGINT) AS n,
+                   CAST(n_timed AS BIGINT) AS n_timed,
+                   CAST(total_exec_ms AS BIGINT) AS total_exec_ms
+            FROM (VALUES {ss_vals}) AS t(shape, n, n_timed, total_exec_ms)
+            ORDER BY n DESC, shape
+        """,
         "pipeline_sink_counts": f"""
             SELECT category, CAST(n AS BIGINT) AS n
             FROM (VALUES {sc_vals}) AS t(category, n)
@@ -1562,6 +1710,97 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df_docs, score, rnk
             FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "funnel": """
+            WITH e AS (SELECT user_id, event_type, ts FROM events),
+            a AS (
+                SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                          OVER (PARTITION BY user_id) AS s0
+                FROM e
+            ), b AS (
+                SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s0 THEN ts END)
+                          OVER (PARTITION BY user_id) AS s1
+                FROM a
+            ), c AS (
+                SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > s1 THEN ts END)
+                          OVER (PARTITION BY user_id) AS s2
+                FROM b
+            ), p AS (
+                SELECT user_id, MAX(s0) AS s0, MAX(s1) AS s1, MAX(s2) AS s2
+                FROM c GROUP BY user_id
+            )
+            SELECT COUNT(s0) AS step1_users, COUNT(s1) AS step2_users,
+                   COUNT(s2) AS step3_users
+            FROM p
+        """,
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id, ts,
+                       MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+                FROM events
+            )
+            SELECT date_trunc('week', first_ts) AS cohort_week,
+                   CAST((epoch(date_trunc('week', ts))
+                         - epoch(date_trunc('week', first_ts))) / 604800 AS INT)
+                       AS week_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM f GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "scd2_intervals": """
+            WITH p AS (
+                SELECT user_id, event_type, ts, event_id,
+                       LAG(event_type) OVER w AS prev
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), c AS (
+                SELECT user_id, event_type, ts, event_id FROM p
+                WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to
+            FROM c ORDER BY user_id, valid_from
+        """,
+        "dq_report": """
+            WITH a AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS p0,
+                       SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS p1,
+                       SUM(CASE WHEN o_totalprice <= 50000 THEN 1 ELSE 0 END) AS p2,
+                       SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS p3,
+                       SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS p4
+                FROM orders
+            ), u AS (
+                SELECT 'complete_custkey' AS check_name, p0 AS n_pass, n FROM a
+                UNION ALL SELECT 'positive_price', p1, n FROM a
+                UNION ALL SELECT 'price_le_50k', p2, n FROM a
+                UNION ALL SELECT 'status_in_set', p3, n FROM a
+                UNION ALL SELECT 'priority_pattern', p4, n FROM a
+            )
+            SELECT check_name, CAST(n_pass AS BIGINT) AS n_pass,
+                   CAST(n - n_pass AS BIGINT) AS n_fail,
+                   ROUND(n_pass / CAST(n AS DOUBLE), 6) AS pass_rate
+            FROM u ORDER BY check_name
+        """,
+        "fuzzy_pairs": """
+            WITH c AS (
+                SELECT c_custkey AS id, c_name AS nm,
+                       substr(c_name, 1, 17) AS blk
+                FROM customer WHERE c_custkey < 400
+            )
+            SELECT a.id AS a, b.id AS b,
+                   CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+            FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+            WHERE levenshtein(a.nm, b.nm) <= 1
+            ORDER BY a, b
+        """,
+        "bm25_topk": _bm25_sql(["scan", "hash", "merge"], 1.2, 0.75, 20),
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY l_returnflag, l_linestatus
         """,
         **_pipeline_oracle_sql(),
         "media_features": _media_features_sql(),

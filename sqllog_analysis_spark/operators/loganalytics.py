@@ -1,0 +1,356 @@
+"""Query-log analytics and event-analytics operators.
+
+The reference stores parsed SQL-log records and answers questions about
+them (slow queries, per-category counts — README.md:470-493,
+src/database/duckdb_impl.rs:98-115).  This module adds the analyses a
+production query-log warehouse runs on top of that record table —
+statement-shape digests (the pt-query-digest / pg_stat_statements
+workload summary), funnels, cohort retention, SCD2 change intervals,
+data-quality constraint reports, blocked fuzzy record linkage, and BM25
+relevance ranking.
+
+Every operator is a narrow column-expression plan (whole-stage codegen,
+no Python in the hot path) whose math is engine-agnostic, so the driver
+contract's DuckDB oracle reproduces each result bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# SQL statement-shape normalization (pt-query-digest / pg_stat_statements)
+# ---------------------------------------------------------------------------
+# Literal-masking rules, applied in order.  Each pattern uses only syntax
+# with identical semantics in Java regex (Spark), Python re (the pure-Python
+# oracle below), and RE2 (DuckDB), so all three engines derive the same
+# shape for the same statement:
+#   1. quoted string literals -> ?   ('' escapes stay inside one literal;
+#      [^']* spans newlines in all three engines without DOTALL)
+#   2. hex literals -> ?             (before the digit rule so 0x1f doesn't
+#      decay into "?x?f")
+#   3. standalone numbers -> ?       (\b keeps identifiers like col_0
+#      intact: '_'..'0' is word..word, no boundary)
+#   4. IN-list / VALUES-tuple collapse: (?, ?, ?) -> (?)  so list arity
+#      doesn't explode shape cardinality
+#   5. whitespace collapse + trim + lowercase
+_SHAPE_RULES: list[tuple[str, str]] = [
+    (r"'([^']|'')*'", "?"),
+    (r"\b0x[0-9a-fA-F]+\b", "?"),
+    (r"\b\d+(\.\d+)?\b", "?"),
+    (r"\(\s*\?\s*(,\s*\?\s*)*\)", "(?)"),
+    (r"\s+", " "),
+]
+
+
+def normalize_sql_shape(col: str | Column) -> Column:
+    """Canonical statement shape of a SQL text column (literals masked,
+    IN-lists collapsed, whitespace folded, lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _SHAPE_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return F.lower(F.trim(c))
+
+
+def normalize_sql_shape_py(text: str) -> str:
+    """Pure-Python mirror of :func:`normalize_sql_shape` — used by the
+    contract-expected generator and the Spark-vs-Python parity test."""
+    for pat, rep in _SHAPE_RULES:
+        text = re.sub(pat, rep, text)
+    return text.strip().lower()
+
+
+def sql_shape_digest(
+    records: DataFrame,
+    sql_col: str = "description",
+    time_col: str = "execute_time",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Workload digest: group records by normalized statement shape and
+    summarize volume + latency, like pt-query-digest over a slow-query log.
+
+    Returns (shape, n, n_timed, total_exec_ms) ordered by n desc, shape.
+
+    Scale shape: the normalizer is a regexp_replace chain — pure codegen,
+    zero Python — and the groupBy partial-aggregates map-side, so even a
+    workload where ONE shape is 90% of 100 TB of records collapses to one
+    row per shape per task before the (tiny: #shapes) shuffle.
+    """
+    shaped = records.select(
+        normalize_sql_shape(sql_col).alias("shape"),
+        F.col(time_col).alias("_t"),
+    )
+    out = (
+        shaped.groupBy("shape")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("_t").alias("n_timed"),
+            F.coalesce(F.sum("_t"), F.lit(0)).alias("total_exec_ms"),
+        )
+        .orderBy(F.desc("n"), "shape")
+    )
+    return out.limit(top_k) if top_k else out
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis
+# ---------------------------------------------------------------------------
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users performed ``steps[0]``,
+    then ``steps[1]`` strictly after it, then ``steps[2]`` after that, …
+
+    Returns one row: (step_1_users, step_2_users, …) as BIGINT columns.
+
+    Scale shape: each step is a conditional MIN window over the SAME
+    user partitioning — Catalyst plans the chain as one exchange on
+    ``user_col`` with stacked Window operators, and the follow-up
+    per-user collapse reuses that partitioning (no second shuffle).
+    The final global count is a single-row reduce.
+    """
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev: Column | None = None
+    step_cols = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        c = F.min(F.when(cond, F.col(ts_col))).over(w)
+        name = f"_s{i}"
+        df = df.withColumn(name, c)
+        prev = F.col(name)
+        step_cols.append(name)
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in step_cols]
+    )
+    return per_user.agg(
+        *[
+            F.count(c).cast("long").alias(f"step{i + 1}_users")
+            for i, c in enumerate(step_cols)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each (cohort_week, week_offset) the number of
+    distinct cohort members active that week.
+
+    Returns (cohort_week, week_offset, n_users) ordered by both keys.
+
+    Scale shape: first-seen is a MIN window on ``user_col`` (one
+    shuffle); the retention groupBy shuffles only (cohort, offset,
+    user) triples — already distinct-per-user-week after the
+    dropDuplicates that rides the same exchange.
+    """
+    w = Window.partitionBy(user_col)
+    first_ts = F.min(ts_col).over(w)
+    cohort = F.date_trunc("week", first_ts)
+    week = F.date_trunc("week", F.col(ts_col))
+    offset = (
+        (F.unix_timestamp(week) - F.unix_timestamp(cohort)) / (7 * 86400)
+    ).cast("int")
+    return (
+        events.select(user_col, ts_col)
+        .withColumn("cohort_week", cohort)
+        .withColumn("week_offset", offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 change intervals
+# ---------------------------------------------------------------------------
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse a change log into SCD-type-2 validity intervals: one row
+    per (key, attribute-run) with [valid_from, valid_to) bounds; the
+    current value's valid_to is NULL.
+
+    Consecutive equal attribute values merge into one interval (only
+    change points survive).
+
+    Scale shape: two window passes (lag to find change points, lead for
+    the interval close) over the SAME (key, ts) ordering — one exchange;
+    the change-point filter between them runs in place.
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lag(attr_col).over(w).isNull() | (
+        F.lag(attr_col).over(w) != F.col(attr_col)
+    )
+    cols = [key_col, attr_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    points = df.select(*cols).withColumn("_chg", changed).filter("_chg")
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return points.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint report (Deequ-style)
+# ---------------------------------------------------------------------------
+
+def dq_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Evaluate named boolean constraint columns in ONE scan and report
+    (check_name, n_pass, n_fail, pass_rate) per check.
+
+    ``checks`` maps a check name to a boolean Column over ``df``'s rows
+    (completeness, range, set-membership, pattern…).  A NULL verdict
+    counts as fail — constraints must prove themselves.
+
+    Scale shape: every check is a conditional SUM in one aggregate over
+    one scan (single-row reduce, no shuffle of data rows); the per-check
+    unpivot happens on that one row driver-side-free via stack().
+    """
+    names = list(checks)
+    agg = df.agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"_p{i}")
+            for i, c in enumerate(checks.values())
+        ],
+    )
+    stack_args = ", ".join(f"'{n}', _p{i}" for i, n in enumerate(names))
+    return agg.select(
+        F.expr(f"stack({len(names)}, {stack_args}) as (check_name, n_pass)"),
+        F.col("_n"),
+    ).select(
+        "check_name",
+        F.col("n_pass").cast("long").alias("n_pass"),
+        (F.col("_n") - F.col("n_pass")).cast("long").alias("n_fail"),
+        F.round(F.col("n_pass") / F.col("_n"), 6).alias("pass_rate"),
+    ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy record linkage
+# ---------------------------------------------------------------------------
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_len: int = 16,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate record pairs by edit distance WITHIN
+    blocking-key groups — the standard record-linkage shape: an exact
+    equi-join on a cheap blocking key (name prefix) bounds the quadratic
+    comparison to each block, then Levenshtein filters survivors.
+
+    Returns (a, b, dist) with a < b, ordered.
+
+    Scale shape: one shuffle on the block key for the self-join; the
+    O(block²) comparisons stay inside each join group, so total cost is
+    Σ block² — the operator's contract is that the blocking key keeps
+    blocks small (callers pick ``block_len`` for their key
+    distribution).  Levenshtein is a JVM built-in (codegen), no Python.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+        F.substring(F.col(name_col), 1, block_len).alias("_blk"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, on=(F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            F.levenshtein(F.col("a._nm"), F.col("b._nm")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking
+# ---------------------------------------------------------------------------
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against a bag of query terms.
+
+    Returns (doc_id, score) — top ``top_k`` by (score desc, doc_id),
+    score rounded to 6 dp so float summation order can't flip ranks
+    between engines.
+
+    idf uses the standard smoothed form ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: term frequencies are per-row array ops (no explode of
+    the corpus); df/N/avgdl are a tiny per-term aggregate broadcast back
+    (scalar subquery shape).  The corpus is scanned twice (stats, then
+    scores) but never shuffled — at 100 TB the stats pass is the
+    column-pruned (id, text) scan and the score pass streams.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t")).withColumn(
+        "dl", F.size("_t")
+    )
+    for i, t in enumerate(query_terms):
+        base = base.withColumn(
+            f"tf{i}",
+            F.size(F.filter("_t", lambda x: x == F.lit(t))).cast("double"),
+        )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        tf = F.col(f"tf{i}")
+        denom = tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        score = score + idf * (tf * (k1 + 1)) / denom
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(top_k)
+    )

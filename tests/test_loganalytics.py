@@ -1,0 +1,268 @@
+"""Query-log / event-analytics operators (operators/loganalytics.py):
+statement-shape digest, funnel, cohort retention, SCD2 intervals, DQ
+report, blocked fuzzy linkage, BM25 — each pinned against a pure-Python
+computation on a hand-checkable fixture.  The driver contract re-checks
+all of them against DuckDB at sf0.01."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sqllog_analysis_spark.operators import loganalytics as LA
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _m(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+# ---------------------------------------------------------------------------
+# Statement-shape normalization
+# ---------------------------------------------------------------------------
+
+SHAPE_CASES = [
+    ("SELECT * FROM t WHERE id = 42", "select * from t where id = ?"),
+    ("select name from u where city = 'NYC'", "select name from u where city = ?"),
+    # '' escape stays one literal
+    ("select 'it''s' from d", "select ? from d"),
+    # IN-list collapse
+    ("DELETE FROM s WHERE k IN (1, 2, 3)", "delete from s where k in (?)"),
+    ("insert into a values (7, 'x', 3.14)", "insert into a values (?)"),
+    # identifiers with digits survive
+    ("select col_0, t2.x from t2 where col_0 = 5", "select col_0, t2.x from t2 where col_0 = ?"),
+    # hex literal masked whole
+    ("select * from h where addr = 0x1F2a", "select * from h where addr = ?"),
+    # whitespace folding incl newlines
+    ("select a\n  from b\twhere c = 9", "select a from b where c = ?"),
+    # metrics tail (description keeps it) masks stably
+    (
+        "update t set v = 3 EXECTIME: 123(ms) ROWCOUNT: 4 EXEC_ID: 99.",
+        "update t set v = ? exectime: ?(ms) rowcount: ? exec_id: ?.",
+    ),
+]
+
+
+@pytest.mark.parametrize("raw,want", SHAPE_CASES)
+def test_normalize_sql_shape_py_cases(raw, want):
+    assert LA.normalize_sql_shape_py(raw) == want
+
+
+def test_normalize_sql_shape_spark_python_parity(spark):
+    """The Spark regexp chain and the pure-Python mirror agree on every
+    fixture case plus generator-grammar statements (the contract corpus'
+    SQL bodies with literals, params tuples, and multiline strings)."""
+    texts = [r for r, _ in SHAPE_CASES] + [
+        "select * from users where id = ?",
+        "PARAMS(SEQNO, TYPE, DATA)={(0, NUMBER, 993561), (2, VARCHAR2, 'CS_c768d88f3a07')}",
+        "PARAMS(SEQNO, TYPE, DATA)={(1, NUMBER, 5), (19, VARCHAR2, '\n1\n1')}",
+        "select x\n  and col_0 = 12\n  and col_1 = 7 EXECTIME: 5(ms)",
+        "",
+        "   ",
+        "no sql at all — just text 12.5 'quoted'",
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    got = [
+        r["s"]
+        for r in sdf.select(LA.normalize_sql_shape("t").alias("s"))
+        .toPandas()
+        .to_dict("records")
+    ]
+    want = [LA.normalize_sql_shape_py(t) for t in texts]
+    assert got == want
+
+
+def test_sql_shape_digest_groups_and_orders(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "description": [
+                    "select * from t where id = 1",
+                    "select * from t where id = 2",
+                    "select * from t where id = 3",
+                    "delete from s where k = 9",
+                ],
+                "execute_time": pd.array([10, None, 30, 7], dtype="Int64"),
+            }
+        )
+    )
+    got = LA.sql_shape_digest(df).toPandas().to_dict("records")
+    assert got == [
+        {
+            "shape": "select * from t where id = ?",
+            "n": 3,
+            "n_timed": 2,
+            "total_exec_ms": 40,
+        },
+        {
+            "shape": "delete from s where k = ?",
+            "n": 1,
+            "n_timed": 1,
+            "total_exec_ms": 7,
+        },
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Funnel
+# ---------------------------------------------------------------------------
+
+def test_funnel_counts_respects_step_order(spark):
+    # u1 completes view→click→purchase in order; u2 clicks BEFORE its only
+    # view (click must not count); u3 views only.
+    rows = [
+        ("u1", "view", _m(0)),
+        ("u1", "click", _m(1)),
+        ("u1", "purchase", _m(2)),
+        ("u2", "click", _m(0)),
+        ("u2", "view", _m(1)),
+        ("u3", "view", _m(0)),
+        ("u3", "purchase", _m(1)),  # no click between → not step3
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    got = LA.funnel_counts(df, ["view", "click", "purchase"]).collect()[0]
+    assert (got.step1_users, got.step2_users, got.step3_users) == (3, 1, 1)
+
+
+def test_funnel_strictly_after_excludes_ties(spark):
+    rows = [("u", "view", _m(0)), ("u", "click", _m(0))]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    got = LA.funnel_counts(df, ["view", "click"]).collect()[0]
+    assert (got.step1_users, got.step2_users) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_offsets(spark):
+    # u1 first event Mon week0, active week0 and week2; u2 first week1.
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1)),   # Monday
+        ("u1", dt.datetime(2024, 1, 16)),  # week offset 2
+        ("u2", dt.datetime(2024, 1, 10)),  # cohort week of Jan 8
+        ("u2", dt.datetime(2024, 1, 11)),  # same week → one distinct
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in LA.cohort_retention(df).toPandas().to_dict("records")
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 1,
+        ("2024-01-01 00:00:00", 2): 1,
+        ("2024-01-08 00:00:00", 0): 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# SCD2 intervals
+# ---------------------------------------------------------------------------
+
+def test_scd2_intervals_merges_runs_and_opens_current(spark):
+    rows = [
+        ("k", "A", _m(0), 1),
+        ("k", "A", _m(1), 2),  # same run — merged
+        ("k", "B", _m(2), 3),
+        ("k", "A", _m(3), 4),  # A again — NEW interval, not merged backward
+    ]
+    df = spark.createDataFrame(rows, "k string, attr string, ts timestamp, i int")
+    got = [
+        (
+            r["attr"],
+            str(r["valid_from"]),
+            None if pd.isna(r["valid_to"]) else str(r["valid_to"]),
+        )
+        for r in LA.scd2_intervals(df, "k", "attr", "ts", tiebreak_col="i")
+        .orderBy("valid_from")
+        .toPandas()
+        .to_dict("records")
+    ]
+    assert got == [
+        ("A", "2024-01-01 00:00:00", "2024-01-01 00:02:00"),
+        ("B", "2024-01-01 00:02:00", "2024-01-01 00:03:00"),
+        ("A", "2024-01-01 00:03:00", None),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# DQ report
+# ---------------------------------------------------------------------------
+
+def test_dq_report_counts_null_as_fail(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": pd.array([1, 2, None, -3], dtype="Int64")})
+    )
+    got = {
+        r["check_name"]: (r["n_pass"], r["n_fail"], r["pass_rate"])
+        for r in LA.dq_report(
+            df, {"v_complete": F.col("v").isNotNull(), "v_positive": F.col("v") > 0}
+        )
+        .toPandas()
+        .to_dict("records")
+    }
+    assert got == {
+        "v_complete": (3, 1, 0.75),
+        "v_positive": (2, 2, 0.5),  # NULL verdict = fail
+    }
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy pairs
+# ---------------------------------------------------------------------------
+
+def test_blocked_fuzzy_pairs_blocks_and_filters(spark):
+    rows = [
+        (1, "alpha-x"),
+        (2, "alpha-y"),   # same block, dist 1 → pair
+        (3, "alpha-zz"),  # same block, dist 2 from both → filtered at max 1
+        (4, "beta-x"),    # different block → never compared
+    ]
+    df = spark.createDataFrame(rows, "id int, nm string")
+    got = [
+        (r["a"], r["b"], r["dist"])
+        for r in LA.blocked_fuzzy_pairs(df, "id", "nm", block_len=5, max_dist=1)
+        .toPandas()
+        .to_dict("records")
+    ]
+    assert got == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def test_bm25_rank_matches_reference_math(spark):
+    docs = [
+        (0, "spark spark spark filler"),
+        (1, "spark filler filler filler filler filler"),
+        (2, "filler other words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in LA.bm25_rank(df, ["spark"], top_k=10).toPandas().to_dict("records")
+    }
+
+    # pure-Python BM25 with the same constants
+    k1, b = 1.2, 0.75
+    toks = [d[1].split() for d in docs]
+    dls = [len(t) for t in toks]
+    avgdl = sum(dls) / len(dls)
+    dfreq = sum(1 for t in toks if "spark" in t)
+    idf = math.log(1 + (len(docs) - dfreq + 0.5) / (dfreq + 0.5))
+    want = {}
+    for (doc_id, _), t, dl in zip(docs, toks, dls):
+        tf = t.count("spark")
+        if tf:
+            want[doc_id] = round(
+                idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 6
+            )
+    assert got == want
+    # more occurrences in a shorter doc must rank higher
+    assert got[0] > got[1]

@@ -47,7 +47,7 @@ def frame_sig(pdf):
     return cols, rows
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     from sqllog_analysis_spark.session import get_spark
 
     sys.path.insert(0, "/root/repo")
@@ -65,6 +65,8 @@ def main(sf_dir: str) -> int:
     qs, oracles = m.queries(), m.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -96,4 +98,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+            set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+        )
+    )

@@ -31,6 +31,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from sqllog_analysis_spark.operators.loganalytics import (  # noqa: E402
+    normalize_sql_shape_py,
+)
 from sqllog_analysis_spark.oracle import parse_turn_text  # noqa: E402
 from sqllog_analysis_spark.operators.routing import (  # noqa: E402
     ERR_CODE_RE,
@@ -65,6 +68,7 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
     conv_has_ts: dict[str, bool] = {}
     conv_errors: dict[str, list] = {}
     conv_records: dict[str, list] = {}
+    shapes: dict[str, tuple[int, int, int]] = {}
     for conv_id, text in zip(df["conv_id"], df["text"]):
         records, errors, has_ts = parse_turn_text(text)
         conv_has_ts[conv_id] = conv_has_ts.get(conv_id, False) or has_ts
@@ -87,6 +91,14 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
                 max_exec[cat] = r.execute_time if cur is None else max(cur, r.execute_time)
             else:
                 max_exec.setdefault(cat, None)
+            # sql_shapes digest (loganalytics.sql_shape_digest mirror)
+            s = normalize_sql_shape_py(r.description)
+            n, nt, tot = shapes.get(s, (0, 0, 0))
+            shapes[s] = (
+                n + 1,
+                nt + (r.execute_time is not None),
+                tot + (r.execute_time or 0),
+            )
 
     # route_errors: normal convs pass all; degenerate convs pass all iff a
     # Utf8-class error exists, else exactly one synthetic row (io.rs:147-167)
@@ -102,12 +114,15 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
     # turn was empty-flushed; they still emit the synthetic row — covered
     # above because conv_errors has an entry for every conv.
 
+    top15 = sorted(shapes.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
+
     return {
         "sink_counts": sorted((c, n) for c, n in counts.items()),
         "n_errors": n_errors,
         "conv_buckets_by_category": sorted(
             (c, counts[c], max_exec.get(c)) for c in counts
         ),
+        "sql_shapes_top15": [(s, n, nt, tot) for s, (n, nt, tot) in top15],
     }
 
 
