@@ -60,6 +60,10 @@ HEADLINE = [
     "interval_join",
     "sliding_window",
     "quantiles",
+    "sql_shapes",
+    "funnel",
+    "cohort_retention",
+    "bm25_topk",
 ]
 
 

@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --follow on transcripts input: a conversation "
                          "closes after this much EVENT-time quiet (default "
                          "'5 minutes')")
+    ap.add_argument("--digest", type=int, default=0, metavar="N",
+                    help="after the run, print the top-N statement shapes "
+                         "(literal-masked, pt-query-digest style) from the "
+                         "routed records sink in the summary JSON")
     ap.add_argument("--log-dir", default=None,
                     help="enable app logging; dir → dated file inside, path with "
                          "extension → that file (analysis_log.rs:96-124)")
@@ -174,6 +178,16 @@ def main(argv: list[str] | None = None) -> int:
         summary["in_memory"] = cfg.in_memory
         if cfg.config_path:
             summary["config"] = cfg.config_path
+        if args.digest:
+            from sqllog_analysis_spark.operators.loganalytics import sql_shape_digest
+            from sqllog_analysis_spark.sinks.writers import read_sink
+
+            summary["workload_digest"] = [
+                [r["shape"], r["n"], r["n_timed"], r["total_exec_ms"]]
+                for r in sql_shape_digest(
+                    read_sink(spark, out_dir), top_k=args.digest
+                ).collect()
+            ]
         print(json.dumps(summary, ensure_ascii=False))
     finally:
         if tmp_ctx is not None:

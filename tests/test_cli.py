@@ -29,6 +29,27 @@ def test_cli_end_to_end_with_export(spark, tmp_path, capsys):
     assert "turns_processed" in capsys.readouterr().out
 
 
+def test_cli_digest_reports_top_shapes(spark, tmp_path, capsys):
+    """--digest N appends the literal-masked workload digest (top statement
+    shapes from the routed records sink) to the summary JSON; shape counts
+    sum to the routed record count (every record has exactly one shape)."""
+    import json
+
+    inp = str(tmp_path / "t.parquet")
+    out = str(tmp_path / "out")
+    write_transcripts(inp, 400, seed=13)
+    rc = main(["--input", inp, "--output", out, "--digest", "3"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    digest = summary["workload_digest"]
+    assert len(digest) == 3
+    shapes = [row[0] for row in digest]
+    assert all("?" in s for s in shapes)  # literals masked
+    # descending by n, and the masked shape groups many raw statements
+    ns = [row[1] for row in digest]
+    assert ns == sorted(ns, reverse=True) and ns[0] > 1
+
+
 def test_cli_raw_log_dir_mode(spark, tmp_path, capsys):
     """--input-format raw: the CLI ingests a dmsql_*.log directory through
     the splittable chunk reader and runs the identical downstream graph
