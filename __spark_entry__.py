@@ -961,6 +961,49 @@ def q_grouping_sets(spark, sf_dir):
     )
 
 
+def q_zscore_outliers(spark, sf_dir):
+    """Per-type z-score anomalies; threshold tested on the ROUNDED z so
+    engines agree on boundaries (loganalytics.py::zscore_outliers)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.zscore_outliers(e, "event_type", "value", 3.0).orderBy(
+        "event_type", "value"
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of each user's event types
+    (loganalytics.py::event_transitions)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.event_transitions(e, "user_id", "event_type", "ts", "event_id")
+
+
+def q_daily_trend(spark, sf_dir):
+    """Daily counts + trailing 7-day moving average + day-over-day delta
+    (loganalytics.py::daily_trend)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.daily_trend(e).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type; identical FLOOR
+    bin expression on both engines (loganalytics.py::value_histogram)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.value_histogram(e, "value", 0.0, 50.0, 25, group_col="event_type")
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT token heavy hitters (≥1% of corpus tokens) via per-partition
+    Misra-Gries candidates + exact second pass — the bounded-memory shape
+    for 100 TB vocabularies (loganalytics.py::heavy_hitters)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("item")
+    )
+    return LA.heavy_hitters(toks, "item", 0.01)
+
+
 def q_sql_shapes(spark, sf_dir):
     """pt-query-digest-style workload summary: top statement shapes of the
     pipeline's parsed records by volume, with latency totals
@@ -1064,6 +1107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "grouping_sets": q_grouping_sets,
         "sql_shapes": q_sql_shapes,
+        "zscore_outliers": q_zscore_outliers,
+        "event_transitions": q_event_transitions,
+        "daily_trend": q_daily_trend,
+        "value_histogram": q_value_histogram,
+        "heavy_hitters": q_heavy_hitters,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
         "pipeline_conv_buckets": q_pipeline_conv_buckets,
@@ -1795,6 +1843,64 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "bm25_topk": _bm25_sql(["scan", "hash", "merge"], 1.2, 0.75, 20),
+        "zscore_outliers": """
+            WITH s AS (
+                SELECT event_type, value,
+                       AVG(value) OVER (PARTITION BY event_type) AS m,
+                       STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sd
+                FROM events
+            ), z AS (
+                SELECT event_type, value,
+                       CASE WHEN sd > 0 THEN ROUND((value - m) / sd, 6) END AS z
+                FROM s
+            )
+            SELECT event_type, value, z FROM z
+            WHERE ABS(z) > 3 ORDER BY event_type, value
+        """,
+        "event_transitions": """
+            WITH p AS (
+                SELECT event_type AS src,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+                FROM events
+            ), c AS (
+                SELECT src, dst, COUNT(*) AS n FROM p
+                WHERE dst IS NOT NULL GROUP BY src, dst
+            )
+            SELECT src, dst, n,
+                   ROUND(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+            FROM c ORDER BY src, dst
+        """,
+        "daily_trend": """
+            WITH d AS (
+                SELECT event_type,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY event_type, day
+            )
+            SELECT event_type, day, n,
+                   ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma,
+                   n - LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+            FROM d ORDER BY event_type, day
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 2.0), 0), 24) AS INT) AS bin,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type, bin ORDER BY event_type, bin
+        """,
+        "heavy_hitters": r"""
+            WITH t AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+                FROM documents
+            ), tot AS (SELECT COUNT(*) AS total FROM t)
+            SELECT item, COUNT(*) AS n
+            FROM t, tot
+            GROUP BY item, tot.total
+            HAVING COUNT(*) >= CEIL(0.01 * tot.total)
+            ORDER BY n DESC, item
+        """,
         "grouping_sets": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                    SUM(l_quantity) AS sum_qty

@@ -64,6 +64,8 @@ HEADLINE = [
     "funnel",
     "cohort_retention",
     "bm25_topk",
+    "heavy_hitters",
+    "event_transitions",
 ]
 
 

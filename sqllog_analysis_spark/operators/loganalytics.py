@@ -295,6 +295,213 @@ def blocked_fuzzy_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Anomaly detection: per-group z-score outliers
+# ---------------------------------------------------------------------------
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates more than ``threshold`` sample standard
+    deviations from their group mean.
+
+    Returns the group/value columns plus ``z`` (rounded to 6 dp; the
+    threshold test runs on the ROUNDED z so engines with different
+    float-summation orders agree on boundary rows).
+
+    Scale shape: mean/stddev are one window over the group partitioning —
+    a single exchange; the outlier filter is in-place.  Groups with
+    stddev 0 or one row yield no outliers (NULL z filters out).
+    """
+    w = Window.partitionBy(group_col)
+    s = F.stddev_samp(value_col).over(w)
+    z = F.when(
+        s > 0,
+        F.round((F.col(value_col) - F.avg(value_col).over(w)) / s, 6),
+    )
+    return (
+        df.select(group_col, value_col)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix of event types
+# ---------------------------------------------------------------------------
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive event types within each key's timeline.
+
+    Returns (src, dst, n, p) where p = n / Σ n over src, rounded 6 dp
+    (integer ratio — engine-independent).
+
+    Scale shape: one exchange for the per-key LEAD window, then a
+    (src, dst)-key aggregate of pairs (map-side combined); the per-src
+    total is a window over the already-tiny transition matrix.
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(key_col, F.col(type_col).alias("src"), *order[0:])
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    ).orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Daily trend: moving average + day-over-day delta
+# ---------------------------------------------------------------------------
+
+def daily_trend(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-type daily event counts with a trailing ``window_days``-day
+    moving average and the day-over-day delta.
+
+    Returns (event_type, day, n, ma, delta) — ma is AVG over the last
+    ``window_days`` PRESENT days (integer counts ⇒ exact sums ⇒
+    engine-identical doubles), delta is n - lag(n).
+
+    Scale shape: the daily rollup shuffles once on (type, day) — already
+    map-side combined — and both windows run over the tiny daily series.
+    """
+    daily = (
+        df.groupBy(F.col(type_col).alias("event_type"), F.to_date(ts_col).alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("ma"),
+        (F.col("n") - F.lag("n").over(wl)).alias("delta"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: bin index in
+    [0, bins-1] (values outside [lo, hi) clamp to the edge bins), count
+    per (group, bin).
+
+    Bin assignment is FLOOR((v - lo) / width) — the identical double
+    expression on every engine, so bucket boundaries cannot drift.
+
+    Scale shape: pure projection + one small-key aggregate (≤ groups ×
+    bins rows), map-side combined.
+    """
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - lo) / width)
+    bin_c = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    keys = ([group_col] if group_col else []) + ["bin"]
+    return (
+        df.withColumn("bin", bin_c)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .orderBy(*keys)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (two-pass: Misra-Gries candidates → exact verify)
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold_frac: float = 0.01,
+) -> DataFrame:
+    """EXACT frequent items above a frequency fraction, computed without
+    ever shuffling the full keyspace — the shape that finds vocabulary /
+    hot-key heavy hitters in 100 TB of tokens:
+
+    pass 1: per-partition Misra-Gries summaries with capacity
+        ceil(1/threshold_frac).  MG guarantees every item with GLOBAL
+        frequency > threshold_frac·n survives in at least one
+        partition's summary (an item absent from every summary has
+        per-partition freq ≤ ε·n_p everywhere, so global ≤ ε·n), so the
+        union of candidates is a superset of the answer.  Candidate
+        volume is ≤ capacity per partition — KBs, not the keyspace.
+    pass 2: exact counts of the candidates only, via a broadcast
+        semi-join filter before the groupBy — the shuffle carries just
+        candidate-item rows.
+
+    Returns (item, n) for items with n ≥ ceil(threshold_frac · total),
+    ordered by (n desc, item).  Exact — the sketch only bounds the
+    candidate set, never the reported counts.
+    """
+    import math
+
+    import pandas as pd
+
+    cap = max(1, math.ceil(1.0 / threshold_frac))
+    items = df.select(F.col(item_col).alias("item"))
+
+    def mg(batches):
+        # vectorized Misra-Gries: per Arrow batch, value_counts (C speed)
+        # merged into the summary, then the mergeable-summaries trim
+        # (Agarwal et al., "Mergeable Summaries", PODS'12): subtract the
+        # (cap+1)-th largest count from all and drop non-positive — the
+        # same error bound (undercount ≤ n_p/(cap+1)) as row-at-a-time MG
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["item"].value_counts(), fill_value=0)
+            if len(counters) > cap:
+                kth = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters.sub(kth)
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"item": counters.index.astype(str)})
+
+    candidates = items.mapInPandas(mg, "item string").distinct()
+    total = items.count()
+    min_n = math.ceil(threshold_frac * total)
+    return (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_n)
+        .orderBy(F.desc("n"), "item")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 relevance ranking
 # ---------------------------------------------------------------------------
 

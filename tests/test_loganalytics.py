@@ -234,6 +234,128 @@ def test_blocked_fuzzy_pairs_blocks_and_filters(spark):
 
 
 # ---------------------------------------------------------------------------
+# Z-score outliers
+# ---------------------------------------------------------------------------
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    vals = [10.0] * 20 + [10.5] * 20 + [100.0]  # one wild point
+    rows = [("g", v) for v in vals] + [("const", 5.0), ("const", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = LA.zscore_outliers(df, "grp", "v", 3.0).toPandas().to_dict("records")
+    assert len(got) == 1 and got[0]["grp"] == "g" and got[0]["v"] == 100.0
+    assert got[0]["z"] > 3  # zero-stddev group contributed nothing
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions
+# ---------------------------------------------------------------------------
+
+def test_event_transitions_counts_and_probs(spark):
+    rows = [
+        ("u1", "a", _m(0), 1),
+        ("u1", "b", _m(1), 2),
+        ("u1", "a", _m(2), 3),
+        ("u1", "b", _m(3), 4),
+        ("u2", "a", _m(0), 5),
+        ("u2", "a", _m(1), 6),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string, ts timestamp, i int")
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["p"])
+        for r in LA.event_transitions(df, "k", "t", "ts", "i")
+        .toPandas()
+        .to_dict("records")
+    }
+    # u1: a→b, b→a, a→b; u2: a→a.  src=a totals 3, src=b totals 1.
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "a"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Daily trend
+# ---------------------------------------------------------------------------
+
+def test_daily_trend_moving_average_and_delta(spark):
+    rows = (
+        [("x", dt.datetime(2024, 1, 1, 5))] * 2
+        + [("x", dt.datetime(2024, 1, 2, 5))] * 4
+        + [("x", dt.datetime(2024, 1, 3, 5))] * 3
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = [
+        (str(r["day"]), r["n"], r["ma"], None if pd.isna(r["delta"]) else r["delta"])
+        for r in LA.daily_trend(df, window_days=2).toPandas().to_dict("records")
+    ]
+    assert got == [
+        ("2024-01-01", 2, 2.0, None),
+        ("2024-01-02", 4, 3.0, 2),   # trailing-2 ma = (2+4)/2
+        ("2024-01-03", 3, 3.5, -1),  # (4+3)/2
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Histogram
+# ---------------------------------------------------------------------------
+
+def test_value_histogram_bins_and_clamps(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 1.9, 2.0, 9.9, 10.0, 99.0]], "v double"
+    )
+    got = {
+        r["bin"]: r["n"]
+        for r in LA.value_histogram(df, "v", 0.0, 10.0, 5).toPandas().to_dict("records")
+    }
+    # width 2: bin0=[-inf clamp..2), bin4 clamps everything ≥ 8
+    assert got == {0: 3, 1: 1, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_exact_over_many_partitions(spark):
+    # skewed corpus: 'hot' 40%, 'warm' 11%, tail of 49 singletons + filler.
+    items = (
+        ["hot"] * 400 + ["warm"] * 110 + [f"tail{i}" for i in range(49)] * 1
+        + ["filler"] * 441
+    )
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(16)
+    got = [
+        (r["item"], r["n"])
+        for r in LA.heavy_hitters(df, "item", 0.10).toPandas().to_dict("records")
+    ]
+    # exact counts, exact threshold (n=1000 → min 100), ordered n desc
+    assert got == [("filler", 441), ("hot", 400), ("warm", 110)]
+
+
+def test_heavy_hitters_superset_guarantee_fuzz(spark):
+    """Every item above the threshold fraction must be reported with its
+    EXACT count even when split across many partitions (the MG candidate
+    pass may only over-generate, never lose a qualifying item)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pool = [f"w{i}" for i in range(200)]
+    weights = rng.zipf(1.5, 200).astype(float)
+    weights /= weights.sum()
+    items = rng.choice(pool, size=5000, p=weights)
+    truth = pd.Series(items).value_counts()
+    frac = 0.02
+    want = {
+        (k, int(v)) for k, v in truth.items() if v >= -(-frac * len(items) // 1)
+    }
+    df = spark.createDataFrame([(str(x),) for x in items], "item string").repartition(32)
+    got = {
+        (r["item"], r["n"])
+        for r in LA.heavy_hitters(df, "item", frac).toPandas().to_dict("records")
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # BM25
 # ---------------------------------------------------------------------------
 
