@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="after the run, print the top-N statement shapes "
                          "(literal-masked, pt-query-digest style) from the "
                          "routed records sink in the summary JSON")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run, rewrite fragmented (category, dt) "
+                         "sink partitions into ~128MB files (small-file "
+                         "maintenance; idempotent)")
+    ap.add_argument("--retain-days", type=int, default=None, metavar="D",
+                    help="after the run, drop records-sink dt= partitions "
+                         "older than D days (pure metadata delete)")
     ap.add_argument("--log-dir", default=None,
                     help="enable app logging; dir → dated file inside, path with "
                          "extension → that file (analysis_log.rs:96-124)")
@@ -178,6 +185,16 @@ def main(argv: list[str] | None = None) -> int:
         summary["in_memory"] = cfg.in_memory
         if cfg.config_path:
             summary["config"] = cfg.config_path
+        if args.retain_days is not None:
+            from sqllog_analysis_spark.sinks.maintenance import expire_partitions
+
+            summary["expired_partitions"] = expire_partitions(
+                out_dir, args.retain_days
+            )
+        if args.compact:
+            from sqllog_analysis_spark.sinks.maintenance import compact_sink
+
+            summary["compacted"] = compact_sink(spark, out_dir)
         if args.digest:
             from sqllog_analysis_spark.operators.loganalytics import sql_shape_digest
             from sqllog_analysis_spark.sinks.writers import read_sink

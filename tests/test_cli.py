@@ -50,6 +50,25 @@ def test_cli_digest_reports_top_shapes(spark, tmp_path, capsys):
     assert ns == sorted(ns, reverse=True) and ns[0] > 1
 
 
+def test_cli_maintenance_flags(spark, tmp_path, capsys):
+    """--compact / --retain-days run sink maintenance after the pipeline
+    and report what they did in the summary JSON (a fresh single-run sink
+    is already tidy → compact reports no rewrites, retention keeps all)."""
+    import json
+
+    inp = str(tmp_path / "t.parquet")
+    out = str(tmp_path / "out")
+    write_transcripts(inp, 400, seed=13)
+    rc = main(
+        ["--input", inp, "--output", out, "--compact", "--retain-days", "3650"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["compacted"] == []
+    assert summary["expired_partitions"] == []
+    assert os.path.isdir(os.path.join(out, "records"))
+
+
 def test_cli_raw_log_dir_mode(spark, tmp_path, capsys):
     """--input-format raw: the CLI ingests a dmsql_*.log directory through
     the splittable chunk reader and runs the identical downstream graph
