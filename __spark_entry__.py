@@ -1004,6 +1004,26 @@ def q_heavy_hitters(spark, sf_dir):
     return LA.heavy_hitters(toks, "item", 0.01)
 
 
+def q_reply_latency(spark, sf_dir):
+    """User→assistant reply-latency stats over the pinned contract
+    corpus (loganalytics.py::reply_latency): exact integer-microsecond
+    latencies, so avg/percentiles are engine-identical; pinned by
+    hard-oracle constants from a pure-Python replay."""
+    path = os.path.join(_DATA_CACHE, f"transcripts_{_CONTRACT_N_TURNS}_s42.parquet")
+    if not os.path.exists(path):
+        from sqllog_analysis_spark.sources.transcripts import write_transcripts
+
+        os.makedirs(_DATA_CACHE, exist_ok=True)
+        write_transcripts(path, _CONTRACT_N_TURNS, seed=42)
+    lat = LA.reply_latency(spark.read.parquet(path))
+    return lat.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("latency_us"), 6).alias("avg_us"),
+        F.round(F.expr("percentile(latency_us, 0.5)"), 6).alias("p50_us"),
+        F.round(F.expr("percentile(latency_us, 0.95)"), 6).alias("p95_us"),
+    )
+
+
 def q_sql_shapes(spark, sf_dir):
     """pt-query-digest-style workload summary: top statement shapes of the
     pipeline's parsed records by volume, with latency totals
@@ -1112,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend": q_daily_trend,
         "value_histogram": q_value_histogram,
         "heavy_hitters": q_heavy_hitters,
+        "reply_latency": q_reply_latency,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
         "pipeline_conv_buckets": q_pipeline_conv_buckets,
@@ -1454,7 +1475,14 @@ def _pipeline_oracle_sql(n_turns: int = _CONTRACT_N_TURNS) -> dict[str, str]:
         "('{}', {}, {}, {})".format(s.replace("'", "''"), n, nt, tot)
         for s, n, nt, tot in e["sql_shapes_top15"]
     )
+    rl = e["reply_latency"]
     return {
+        "reply_latency": f"""
+            SELECT CAST({rl["n_pairs"]} AS BIGINT) AS n_pairs,
+                   {rl["avg_us"]} AS avg_us,
+                   {rl["p50_us"]} AS p50_us,
+                   {rl["p95_us"]} AS p95_us
+        """,
         "sql_shapes": f"""
             SELECT shape, CAST(n AS BIGINT) AS n,
                    CAST(n_timed AS BIGINT) AS n_timed,

@@ -152,6 +152,18 @@ def main(argv: list[str] | None = None) -> int:
                 spark, cfg, out_dir, args.follow_seconds, gap=args.follow_gap
             )
             summary["in_memory"] = cfg.in_memory
+            rec_root = os.path.join(out_dir, "records_stream")
+            if args.digest and os.path.isdir(rec_root):
+                from sqllog_analysis_spark.operators.loganalytics import (
+                    sql_shape_digest,
+                )
+
+                summary["workload_digest"] = [
+                    [r["shape"], r["n"], r["n_timed"], r["total_exec_ms"]]
+                    for r in sql_shape_digest(
+                        spark.read.parquet(rec_root), top_k=args.digest
+                    ).collect()
+                ]
             print(json.dumps(summary, ensure_ascii=False))
             return 0
         summary = run_pipeline(

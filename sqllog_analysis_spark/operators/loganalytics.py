@@ -295,6 +295,52 @@ def blocked_fuzzy_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Conversation reply latency
+# ---------------------------------------------------------------------------
+
+def reply_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    role_from: str = "user",
+    role_to: str = "assistant",
+) -> DataFrame:
+    """Per-turn reply latency in a multi-turn transcript: for every
+    ``role_from`` turn, microseconds until the NEXT ``role_to`` turn in
+    the same conversation (by turn order).  Unanswered turns drop.
+
+    Returns (conv_col, order_col, latency_us).
+
+    Scale shape: one window exchange on the conversation key; the
+    "next matching role" lookup is FIRST(… ignorenulls) over the
+    following-rows frame — no self-join, no per-conversation collect.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col(role_col) == role_to, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    return (
+        df.select(conv_col, order_col, role_col, ts_col)
+        .withColumn("_nxt", nxt)
+        .filter((F.col(role_col) == role_from) & F.col("_nxt").isNotNull())
+        .select(
+            conv_col,
+            order_col,
+            (
+                F.unix_micros(F.col("_nxt").cast("timestamp"))
+                - F.unix_micros(F.col(ts_col).cast("timestamp"))
+            ).alias("latency_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Anomaly detection: per-group z-score outliers
 # ---------------------------------------------------------------------------
 

@@ -234,6 +234,31 @@ def test_blocked_fuzzy_pairs_blocks_and_filters(spark):
 
 
 # ---------------------------------------------------------------------------
+# Reply latency
+# ---------------------------------------------------------------------------
+
+def test_reply_latency_next_assistant_only(spark):
+    rows = [
+        ("c", 0, "user", _m(0)),
+        ("c", 1, "tool", _m(1)),       # skipped: not the target role
+        ("c", 2, "assistant", _m(3)),  # answers turn 0 (3 min)
+        ("c", 3, "user", _m(4)),       # unanswered → dropped
+        ("d", 0, "assistant", _m(0)),  # answer BEFORE any user turn
+        ("d", 1, "user", _m(1)),       # unanswered (no later assistant)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    from sqllog_analysis_spark.operators.loganalytics import reply_latency
+
+    got = [
+        (r["conv_id"], r["turn_idx"], r["latency_us"])
+        for r in reply_latency(df).orderBy("conv_id", "turn_idx").toPandas().to_dict("records")
+    ]
+    assert got == [("c", 0, 180_000_000)]
+
+
+# ---------------------------------------------------------------------------
 # Z-score outliers
 # ---------------------------------------------------------------------------
 

@@ -116,7 +116,34 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
 
     top15 = sorted(shapes.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
 
+    # reply_latency (loganalytics.reply_latency mirror): per user turn,
+    # µs until the next assistant turn in the same conversation
+    import numpy as np
+
+    lat: list[int] = []
+    for _, conv in df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        roles = conv["role"].tolist()
+        # dtype is datetime64[us]: int64 view IS microseconds already
+        ts_us = conv["ts"].astype("datetime64[us]").astype("int64").tolist()
+        nxt_assist = [None] * len(roles)
+        nxt = None
+        for i in range(len(roles) - 1, -1, -1):
+            nxt_assist[i] = nxt
+            if roles[i] == "assistant":
+                nxt = ts_us[i]
+        for i, r in enumerate(roles):
+            if r == "user" and nxt_assist[i] is not None:
+                lat.append(nxt_assist[i] - ts_us[i])
+    arr = np.array(sorted(lat), dtype="int64")
+    reply = {
+        "n_pairs": int(arr.size),
+        "avg_us": round(float(arr.mean()), 6),
+        "p50_us": round(float(np.percentile(arr, 50, method="linear")), 6),
+        "p95_us": round(float(np.percentile(arr, 95, method="linear")), 6),
+    }
+
     return {
+        "reply_latency": reply,
         "sink_counts": sorted((c, n) for c, n in counts.items()),
         "n_errors": n_errors,
         "conv_buckets_by_category": sorted(
