@@ -1825,12 +1825,16 @@ def oracle_sql() -> dict[str, str]:
         "scd2_intervals": """
             WITH p AS (
                 SELECT user_id, event_type, ts, event_id,
-                       LAG(event_type) OVER w AS prev
+                       LAG(event_type) OVER w AS prev,
+                       ROW_NUMBER() OVER w AS rn
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), c AS (
+                -- first row of a key is always a change point; otherwise
+                -- null-safe inequality (NULL is a value, mirrors
+                -- loganalytics.scd2_intervals' eqNullSafe)
                 SELECT user_id, event_type, ts, event_id FROM p
-                WHERE prev IS NULL OR prev <> event_type
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type
             )
             SELECT user_id, event_type, ts AS valid_from,
                    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

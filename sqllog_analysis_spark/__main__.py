@@ -110,6 +110,14 @@ def main(argv: list[str] | None = None) -> int:
             raise ConfigError(
                 "--follow 需要目录输入 (transcripts 流式模式监视 parquet 目录)"
             )
+        if args.follow and (args.compact or args.retain_days is not None):
+            # the streaming sink (records_stream/ingest_batch=*) has a
+            # different layout than the batch records sink; silently
+            # ignoring maintenance flags would let the sink grow unbounded
+            # while the operator believes retention is active
+            raise ConfigError(
+                "--compact/--retain-days 不支持 --follow 模式 (流式 sink 布局不同)"
+            )
     except ConfigError as e:
         print(f"配置错误: {e}", file=sys.stderr)
         return 2  # config validation exits 2 (config.rs:211, 298-308)

@@ -56,9 +56,15 @@ def normalize_sql_shape(col: str | Column) -> Column:
 
 def normalize_sql_shape_py(text: str) -> str:
     """Pure-Python mirror of :func:`normalize_sql_shape` — used by the
-    contract-expected generator and the Spark-vs-Python parity test."""
+    contract-expected generator and the Spark-vs-Python parity test.
+
+    ``re.ASCII`` pins ``\\s`` / ``\\d`` / ``\\b`` to ASCII semantics:
+    Java regex (Spark) and RE2 (DuckDB) are ASCII-only for these classes
+    by default, while Python's are Unicode-aware — without the flag a
+    statement containing U+00A0 or a Unicode digit would shape
+    differently here than in Spark."""
     for pat, rep in _SHAPE_RULES:
-        text = re.sub(pat, rep, text)
+        text = re.sub(pat, rep, text, flags=re.ASCII)
     return text.strip().lower()
 
 
@@ -193,7 +199,9 @@ def scd2_intervals(
     current value's valid_to is NULL.
 
     Consecutive equal attribute values merge into one interval (only
-    change points survive).
+    change points survive).  NULL attribute values are values: a change
+    TO NULL opens a NULL interval (null-safe comparison; the first row
+    of a key is always a change point even when its value is NULL).
 
     Scale shape: two window passes (lag to find change points, lead for
     the interval close) over the SAME (key, ts) ordering — one exchange;
@@ -201,9 +209,10 @@ def scd2_intervals(
     """
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
-    changed = F.lag(attr_col).over(w).isNull() | (
-        F.lag(attr_col).over(w) != F.col(attr_col)
-    )
+    # lag of a constant distinguishes "first row" from "previous attr
+    # was NULL"; eqNullSafe makes NULL a comparable value
+    first = F.lag(F.lit(1)).over(w).isNull()
+    changed = first | ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
     cols = [key_col, attr_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
     points = df.select(*cols).withColumn("_chg", changed).filter("_chg")
     w2 = Window.partitionBy(key_col).orderBy(*order)
@@ -239,7 +248,11 @@ def dq_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
             for i, c in enumerate(checks.values())
         ],
     )
-    stack_args = ", ".join(f"'{n}', _p{i}" for i, n in enumerate(names))
+    # names land inside a SQL string literal — escape quotes so a
+    # natural-language check name ("o'clock rule") can't break the expr
+    stack_args = ", ".join(
+        "'{}', _p{}".format(n.replace("'", "''"), i) for i, n in enumerate(names)
+    )
     return agg.select(
         F.expr(f"stack({len(names)}, {stack_args}) as (check_name, n_pass)"),
         F.col("_n"),
@@ -512,6 +525,11 @@ def heavy_hitters(
     Returns (item, n) for items with n ≥ ceil(threshold_frac · total),
     ordered by (n desc, item).  Exact — the sketch only bounds the
     candidate set, never the reported counts.
+
+    The input is scanned exactly TWICE: the MG pass also emits each
+    partition's row count (one NULL-item row per partition), so the
+    global total needs no separate counting job; the tiny sketch output
+    is persisted so candidates and total share one materialization.
     """
     import math
 
@@ -527,24 +545,34 @@ def heavy_hitters(
         # (cap+1)-th largest count from all and drop non-positive — the
         # same error bound (undercount ≤ n_p/(cap+1)) as row-at-a-time MG
         counters = pd.Series(dtype="int64")
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             counters = counters.add(pdf["item"].value_counts(), fill_value=0)
             if len(counters) > cap:
                 kth = counters.nlargest(cap + 1).iloc[-1]
                 counters = counters.sub(kth)
                 counters = counters[counters > 0]
-        yield pd.DataFrame({"item": counters.index.astype(str)})
+        # candidates + one NULL-item row carrying the partition row count
+        yield pd.DataFrame(
+            {
+                "item": list(counters.index.astype(str)) + [None],
+                "part_rows": [0] * len(counters) + [n_rows],
+            }
+        )
 
-    candidates = items.mapInPandas(mg, "item string").distinct()
-    total = items.count()
+    sketch = items.mapInPandas(mg, "item string, part_rows long").persist()
+    total = sketch.agg(F.sum("part_rows")).collect()[0][0] or 0
+    candidates = sketch.filter(F.col("item").isNotNull()).select("item").distinct()
     min_n = math.ceil(threshold_frac * total)
-    return (
+    out = (
         items.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_n)
         .orderBy(F.desc("n"), "item")
     )
+    return out
 
 
 # ---------------------------------------------------------------------------

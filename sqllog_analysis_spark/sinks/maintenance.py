@@ -18,10 +18,17 @@ is a single DuckDB file):
   scan, no rewrite).
 
 Both go through ``pyarrow.fs`` (same as lineage.py) so s3://-style URIs
-take the identical code path, and both swap directories via rename with
-underscore-prefixed staging names — Spark ignores ``_*`` paths, so a
-reader never sees a half-written partition and a crash leaves either the
-old or the new layout visible, never a mix.
+use the same listing/rename code path (Spark receives the original
+scheme-qualified paths, pyarrow the fs-native ones).
+
+Crash safety: a partition swap is two renames through underscore-
+prefixed staging names (``_compact_*`` for the new layout, ``_old_*``
+for the displaced one) — Spark ignores ``_*`` paths, so readers see
+either the old or the new layout, never a mix.  A crash between the two
+renames leaves the partition parked under ``_old_*``; :func:`compact_sink`
+REPAIRS such states up front (restore ``_old_*`` when the live dir is
+missing, drop it when the swap had completed, clear stale ``_compact_*``)
+so maintenance is safe to re-run after any interruption.
 """
 
 from __future__ import annotations
@@ -31,7 +38,16 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
 
-from sqllog_analysis_spark.sinks.lineage import _list_files, _resolve
+from sqllog_analysis_spark.sinks.lineage import _relpath, _resolve
+
+_TMP = "_compact_"
+_OLD = "_old_"
+
+
+def _scheme_prefix(path_or_uri: str) -> str:
+    """'s3://bucket/x' → 's3://'; local paths → '' (pyarrow-native paths
+    get this prefix back before they are handed to Spark)."""
+    return path_or_uri.split("://", 1)[0] + "://" if "://" in path_or_uri else ""
 
 
 def _partition_dirs(fs, records_root: str) -> list[str]:
@@ -53,6 +69,46 @@ def _partition_dirs(fs, records_root: str) -> list[str]:
     return sorted(out)
 
 
+def _parquet_infos(fs, part_dir: str) -> list:
+    """(path, size) of the partition's parquet files — ONE directory
+    listing; sizes come from the same FileInfo batch (no per-file stat,
+    which on an object store would be a HEAD request per file)."""
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(part_dir, recursive=False, allow_not_found=True)
+    return sorted(
+        (i.path, i.size or 0)
+        for i in fs.get_file_info(sel)
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+    )
+
+
+def _repair_interrupted_swaps(fs, root: str) -> None:
+    """Finish/undo any swap a previous crash left half-done (see module
+    docstring).  Metadata-only; idempotent."""
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(root, recursive=False, allow_not_found=True)
+    for cat in fs.get_file_info(sel):
+        if cat.type != pafs.FileType.Directory:
+            continue
+        for child in fs.get_file_info(pafs.FileSelector(cat.path, recursive=False)):
+            base = posixpath.basename(child.path)
+            if child.type != pafs.FileType.Directory:
+                continue
+            if base.startswith(_OLD):
+                live = posixpath.join(cat.path, base[len(_OLD):])
+                if fs.get_file_info(live).type == pafs.FileType.NotFound:
+                    # crashed between the two renames: old layout is the
+                    # only complete one — restore it
+                    fs.move(child.path, live)
+                else:
+                    # swap completed, cleanup didn't — finish it
+                    fs.delete_dir(child.path)
+            elif base.startswith(_TMP):
+                fs.delete_dir(child.path)  # stale staging, always safe
+
+
 def compact_sink(
     spark: SparkSession,
     out_dir: str,
@@ -65,60 +121,60 @@ def compact_sink(
 
     Partitions already at or under their target file count (or with
     fewer than ``min_files`` files) are left untouched — compaction is
-    idempotent and a second run is a metadata-only no-op.
+    idempotent and a second run is a metadata-only no-op.  Interrupted
+    runs are repaired before planning (module docstring).
 
     Returns one stats dict per REWRITTEN partition:
     ``{partition, files_before, files_after, bytes}``.
 
-    Scale shape: planning is a metadata walk (file listings — the same
-    O(#files) cost lineage already pays); each rewrite is an independent
-    distributed job over ONE partition directory (coalesce, no shuffle —
-    the partition's rows are already co-located), and rewrites of
-    different partitions run concurrently from driver threads.  At
-    10^12 turns this is exactly Iceberg's ``rewriteDataFiles`` plan:
-    per-partition jobs, never a global shuffle of the table.
+    Scale shape: planning is a metadata walk (one listing per directory
+    — the same O(#dirs) cost lineage already pays); each rewrite is an
+    independent distributed job over ONE partition directory
+    (``repartition(want)`` so the output file count honors the target
+    even when the scan bin-packs the small files into fewer splits),
+    and rewrites of different partitions run concurrently from driver
+    threads.  At 10^12 turns this is exactly Iceberg's
+    ``rewriteDataFiles`` plan: per-partition jobs, never a global
+    shuffle of the table.
     """
     records_root = posixpath.join(out_dir.rstrip("/"), "records")
     fs, root = _resolve(records_root)
-    stats: list[dict] = []
+    scheme = _scheme_prefix(records_root)
+    _repair_interrupted_swaps(fs, root)
     jobs = []
     for part_dir in _partition_dirs(fs, root):
-        files = _list_files(fs, part_dir, ".parquet", recursive=False)
-        if len(files) < min_files:
+        infos = _parquet_infos(fs, part_dir)
+        if len(infos) < min_files:
             continue
-        total = sum((fs.get_file_info(f).size or 0) for f in files)
+        total = sum(sz for _, sz in infos)
         want = max(1, -(-total // (target_mb * (1 << 20))))
-        if want >= len(files):
+        if want >= len(infos):
             continue
-        jobs.append((part_dir, files, total, want))
+        jobs.append((part_dir, [p for p, _ in infos], total, want))
 
     def rewrite(job):
         part_dir, files, total, want = job
         # read THIS partition's files only; partition values come from the
         # directory name, so writing them back is unnecessary — the swapped
         # directory keeps its category=/dt= path
-        df = spark.read.parquet(*files)
-        tmp = posixpath.join(
-            posixpath.dirname(part_dir),
-            "_compact_" + posixpath.basename(part_dir),
-        )
-        fs.delete_dir_contents(tmp, accept_root_dir=True, missing_dir_ok=True)
+        df = spark.read.parquet(*[scheme + f for f in files])
+        tmp = posixpath.join(posixpath.dirname(part_dir), _TMP + posixpath.basename(part_dir))
+        old = posixpath.join(posixpath.dirname(part_dir), _OLD + posixpath.basename(part_dir))
+        # repartition (not coalesce): guarantees `want` output files even
+        # when the scan packed all the small files into one split; the
+        # in-partition sort is reapplied after the exchange
         (
-            df.coalesce(want)
+            df.repartition(want)
             .sortWithinPartitions("session", "thread", "trx_id")
             .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        old = posixpath.join(
-            posixpath.dirname(part_dir),
-            "_old_" + posixpath.basename(part_dir),
+            .parquet(scheme + tmp)
         )
         fs.move(part_dir, old)
         fs.move(tmp, part_dir)
         fs.delete_dir(old)
-        after = _list_files(fs, part_dir, ".parquet", recursive=False)
+        after = _parquet_infos(fs, part_dir)
         return {
-            "partition": _rel_to_root(part_dir, root),
+            "partition": _relpath(part_dir, root),
             "files_before": len(files),
             "files_after": len(after),
             "bytes": total,
@@ -127,11 +183,6 @@ def compact_sink(
     with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
         stats = [f.result() for f in [ex.submit(rewrite, j) for j in jobs]]
     return sorted(stats, key=lambda s: s["partition"])
-
-
-def _rel_to_root(path: str, root: str) -> str:
-    root = root.rstrip("/")
-    return path[len(root) + 1 :] if path.startswith(root + "/") else path
 
 
 def expire_partitions(
@@ -166,5 +217,5 @@ def expire_partitions(
             continue  # non-date partition value: never age out silently
         if day < cutoff:
             fs.delete_dir(part_dir)
-            deleted.append(_rel_to_root(part_dir, root))
+            deleted.append(_relpath(part_dir, root))
     return sorted(deleted)

@@ -95,6 +95,20 @@ def test_cli_rejects_bad_input_format(tmp_path):
     assert main(["--config", str(p)]) == 2
 
 
+def test_cli_follow_rejects_maintenance_flags(tmp_path):
+    # silently ignoring --compact/--retain-days in follow mode would let
+    # the streaming sink grow unbounded while the operator believes
+    # retention is active — exit 2 instead
+    d = tmp_path / "in"
+    d.mkdir()
+    rc = main(["--input", str(d), "--output", str(tmp_path / "o"),
+               "--follow", "--retain-days", "7"])
+    assert rc == 2
+    rc = main(["--input", str(d), "--output", str(tmp_path / "o"),
+               "--follow", "--compact"])
+    assert rc == 2
+
+
 def test_cli_follow_transcripts_requires_directory(tmp_path):
     # transcripts streaming watches a parquet DIRECTORY; a file (or
     # missing) input is a config error, exit 2

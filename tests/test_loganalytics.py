@@ -56,8 +56,13 @@ def test_normalize_sql_shape_py_cases(raw, want):
 def test_normalize_sql_shape_spark_python_parity(spark):
     """The Spark regexp chain and the pure-Python mirror agree on every
     fixture case plus generator-grammar statements (the contract corpus'
-    SQL bodies with literals, params tuples, and multiline strings)."""
+    SQL bodies with literals, params tuples, and multiline strings) AND
+    non-ASCII input — Python re runs with re.ASCII so \\d/\\s/\\b match
+    Java/RE2 semantics (a Unicode digit or U+00A0 must NOT mask)."""
     texts = [r for r, _ in SHAPE_CASES] + [
+        "select ٣ from t where x = 42",   # Arabic-Indic digit: stays
+        "select a from b where c = 7",    # NBSP is not \\s: stays
+    ] + [
         "select * from users where id = ?",
         "PARAMS(SEQNO, TYPE, DATA)={(0, NUMBER, 993561), (2, VARCHAR2, 'CS_c768d88f3a07')}",
         "PARAMS(SEQNO, TYPE, DATA)={(1, NUMBER, 5), (19, VARCHAR2, '\n1\n1')}",
@@ -190,6 +195,33 @@ def test_scd2_intervals_merges_runs_and_opens_current(spark):
     ]
 
 
+def test_scd2_intervals_null_is_a_value(spark):
+    """A change TO NULL opens a NULL interval (null-safe comparison), a
+    NULL run merges, and a key whose first value is NULL still yields a
+    first interval."""
+    rows = [
+        ("k", "A", _m(0), 1),
+        ("k", None, _m(1), 2),   # A → NULL is a change point
+        ("k", None, _m(2), 3),   # NULL run merges
+        ("k", "A", _m(3), 4),    # NULL → A is a change point
+        ("j", None, _m(0), 5),   # first row, NULL value: still emitted
+    ]
+    df = spark.createDataFrame(rows, "k string, attr string, ts timestamp, i int")
+    got = [
+        (r["k"], r["attr"], str(r["valid_from"]))
+        for r in LA.scd2_intervals(df, "k", "attr", "ts", tiebreak_col="i")
+        .orderBy("k", "valid_from")
+        .toPandas()
+        .to_dict("records")
+    ]
+    assert got == [
+        ("j", None, "2024-01-01 00:00:00"),
+        ("k", "A", "2024-01-01 00:00:00"),
+        ("k", None, "2024-01-01 00:01:00"),
+        ("k", "A", "2024-01-01 00:03:00"),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # DQ report
 # ---------------------------------------------------------------------------
@@ -210,6 +242,12 @@ def test_dq_report_counts_null_as_fail(spark):
         "v_complete": (3, 1, 0.75),
         "v_positive": (2, 2, 0.5),  # NULL verdict = fail
     }
+
+
+def test_dq_report_check_name_with_quote(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    got = LA.dq_report(df, {"o'clock rule": F.col("v") > 0}).collect()
+    assert got[0]["check_name"] == "o'clock rule" and got[0]["n_pass"] == 1
 
 
 # ---------------------------------------------------------------------------

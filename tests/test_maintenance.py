@@ -76,20 +76,41 @@ def test_compact_second_run_is_noop(spark, tmp_path):
 
 
 def test_compact_respects_target_size(spark, tmp_path):
-    """A partition whose bytes exceed target_mb splits into ceil(bytes /
-    target) files instead of always collapsing to one."""
+    """A partition whose bytes exceed target_mb splits into exactly
+    ceil(bytes / target) files (repartition guarantees the count even
+    when the scan bin-packs the small inputs into one split)."""
     out = _pipeline(spark, tmp_path, n=1500, seed=7)
-    _fragment(out, copies=4)
-    big = max(
-        (
-            sum(os.path.getsize(f) for f in glob.glob(os.path.join(d, "*.parquet")))
-            for d in glob.glob(os.path.join(out, "records", "category=*", "dt=*"))
-        ),
-    )
-    # pick a target that forces ≥ 2 output files for the biggest partition
-    target_mb = max(1, big // (2 << 20))  # bytes→MB, halved
-    stats = compact_sink(spark, out, target_mb=int(target_mb))
-    assert any(s["files_after"] >= 2 for s in stats) or big < 2 * (1 << 20)
+    _fragment(out, copies=20)  # chat partition → ~2.6MB: splits at 1MB
+    stats = compact_sink(spark, out, target_mb=1)
+    assert stats
+    for s in stats:
+        want = max(1, -(-s["bytes"] // (1 << 20)))
+        if want < s["files_before"]:
+            assert s["files_after"] == want
+    # the fixture's biggest partition really exercises the multi-file path
+    assert any(s["files_after"] >= 2 for s in stats)
+
+
+def test_compact_repairs_interrupted_swap(spark, tmp_path):
+    """Crash states self-heal: a partition parked under _old_ (crash
+    between the two renames) is restored; a completed-swap leftover
+    (_old_ next to a live dir) and stale _compact_ staging are dropped."""
+    out = _pipeline(spark, tmp_path, n=800, seed=11)
+    before_rows = _rowset(spark, out)
+    cat_dirs = sorted(glob.glob(os.path.join(out, "records", "category=*")))
+    parked = sorted(glob.glob(os.path.join(cat_dirs[0], "dt=*")))[0]
+    # crash between move(live→old) and move(tmp→live): live dir missing
+    os.rename(parked, os.path.join(cat_dirs[0], "_old_" + os.path.basename(parked)))
+    # a completed swap whose _old_ cleanup didn't run, plus stale staging
+    live2 = sorted(glob.glob(os.path.join(cat_dirs[1], "dt=*")))[0]
+    shutil.copytree(live2, os.path.join(cat_dirs[1], "_old_" + os.path.basename(live2)))
+    shutil.copytree(live2, os.path.join(cat_dirs[1], "_compact_" + os.path.basename(live2)))
+
+    compact_sink(spark, out)  # repair runs before planning
+
+    assert _rowset(spark, out) == before_rows  # parked partition restored
+    assert not glob.glob(os.path.join(out, "records", "**", "_old_*"), recursive=True)
+    assert not glob.glob(os.path.join(out, "records", "**", "_compact_*"), recursive=True)
 
 
 def test_compact_preserves_index_sort(spark, tmp_path):
