@@ -160,16 +160,18 @@ def main(argv: list[str] | None = None) -> int:
                 spark, cfg, out_dir, args.follow_seconds, gap=args.follow_gap
             )
             summary["in_memory"] = cfg.in_memory
-            rec_root = os.path.join(out_dir, "records_stream")
-            if args.digest and os.path.isdir(rec_root):
-                from sqllog_analysis_spark.operators.loganalytics import (
-                    sql_shape_digest,
+            dig_root = os.path.join(out_dir, "digest_stream")
+            if args.digest and os.path.isdir(dig_root):
+                # fold the tiny per-batch digest partials — O(#batches ×
+                # #shapes), never a rescan of the records sink
+                from sqllog_analysis_spark.streaming.stream_pipeline import (
+                    read_stream_digest,
                 )
 
                 summary["workload_digest"] = [
                     [r["shape"], r["n"], r["n_timed"], r["total_exec_ms"]]
-                    for r in sql_shape_digest(
-                        spark.read.parquet(rec_root), top_k=args.digest
+                    for r in read_stream_digest(
+                        spark, out_dir, top_k=args.digest
                     ).collect()
                 ]
             print(json.dumps(summary, ensure_ascii=False))

@@ -341,8 +341,51 @@ def _full_graph_batch_writer(out_dir: str, slow_ms: int):
             .json(os.path.join(err_root, f"ingest_batch={batch_id}"))
         )
         _write_batch_metrics(out_dir, batch_id, n_errors=int(obs.get["n"]))
+        _write_digest_partial(writable, out_dir, batch_id)
 
     return write_batch
+
+
+def _write_digest_partial(routed: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Per-batch statement-shape digest PARTIAL — the algebraic half of a
+    streaming workload digest.  The digest is (count, count, sum) per
+    shape, so a batch's partial folds losslessly into the total; each
+    partial lands in its own exactly-once ``ingest_batch=<id>`` overwrite
+    (a retried batch REPLACES its partial, never double-counts), and
+    :func:`read_stream_digest` folds the tiny partials at read time —
+    O(#batches × #shapes) rows, never a rescan of the records."""
+    import os
+
+    from sqllog_analysis_spark.operators.loganalytics import sql_shape_digest
+
+    (
+        sql_shape_digest(routed)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "digest_stream", f"ingest_batch={batch_id}"))
+    )
+
+
+def read_stream_digest(
+    spark: SparkSession, out_dir: str, top_k: int | None = None
+) -> DataFrame:
+    """Current workload digest of a streaming session: fold the per-batch
+    partials written by :func:`_write_digest_partial`.  Identical output
+    to running ``sql_shape_digest`` over all routed records at once
+    (counts and sums are associative), pinned by
+    test_streaming.py::test_stream_digest_matches_batch_digest."""
+    import os
+
+    out = (
+        spark.read.parquet(os.path.join(out_dir, "digest_stream"))
+        .groupBy("shape")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("n_timed").alias("n_timed"),
+            F.sum("total_exec_ms").alias("total_exec_ms"),
+        )
+        .orderBy(F.desc("n"), "shape")
+    )
+    return out.limit(top_k) if top_k else out
 
 
 def closed_conversations(

@@ -292,6 +292,49 @@ def test_stream_sqllog_pipeline_full_batch_parity(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_stream_digest_matches_batch_digest(spark, tmp_path):
+    """The streaming workload digest (per-batch algebraic partials under
+    digest_stream/ingest_batch=*, folded at read) equals sql_shape_digest
+    over all routed records at once — across MULTIPLE micro-batches."""
+    from sqllog_analysis_spark.operators.loganalytics import sql_shape_digest
+    from sqllog_analysis_spark.sources.logfiles import read_sqllog_dir
+    from sqllog_analysis_spark.plans.pipeline import build
+    from sqllog_analysis_spark.streaming.stream_pipeline import (
+        read_stream_digest,
+        stream_sqllog_pipeline,
+    )
+
+    a = (
+        "2025-09-21 12:00:00.000 (EP[1] sess:NULL thrd:1 user:usr trxid:1 stmt:NULL) [SEL]: select 7\n"
+        "EXECTIME: 100(ms) ROWCOUNT: 1 EXEC_ID: 1.\n"
+    )
+    b = (
+        "2025-09-21 12:00:02.000 (EP[1] sess:NULL thrd:2 user:usr trxid:2 stmt:NULL) [SEL]: select 9\n"
+        "EXECTIME: 40(ms) ROWCOUNT: 1 EXEC_ID: 2.\n"
+        "2025-09-21 12:00:03.000 (EP[1] sess:NULL thrd:2 user:usr trxid:3 stmt:NULL) [DEL]: delete from x where id = 5\n"
+    )
+    d = tmp_path / "digraw"
+    d.mkdir()
+    (d / "dmsql_a.log").write_text(a, encoding="utf-8")
+    out = str(tmp_path / "digout")
+    q = stream_sqllog_pipeline(spark, str(d), out, str(tmp_path / "digckpt")).start()
+    q.processAllAvailable()
+    (d / "dmsql_b.log").write_text(b, encoding="utf-8")  # second micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        map(tuple, read_stream_digest(spark, out).collect())
+    )
+    g = build(spark, read_sqllog_dir(spark, str(d)))
+    want = sorted(map(tuple, sql_shape_digest(g["routed"]).collect()))
+    assert got == want and len(got) >= 2
+    # the two select shapes merged into ONE row across batches
+    sel = [r for r in got if r[0] == "select ? exectime: ?(ms) rowcount: ? exec_id: ?."]
+    assert sel and sel[0][1] == 2 and sel[0][3] == 140
+
+
+@pytest.mark.slow
 def test_stream_transcript_pipeline_degenerate_split_across_batches(spark, tmp_path):
     """Transcripts-mode streaming with FULL batch parity: a degenerate
     conversation (no valid timestamp line in any turn) split across TWO
