@@ -529,7 +529,9 @@ def heavy_hitters(
     The input is scanned exactly TWICE: the MG pass also emits each
     partition's row count (one NULL-item row per partition), so the
     global total needs no separate counting job; the tiny sketch output
-    is persisted so candidates and total share one materialization.
+    (≤ capacity × #partitions rows) is reduced once and its candidate
+    set collected driver-side — the bounded-sample pattern — so the
+    RETURNED plan is pure JVM (local-relation broadcast semi-join).
     """
     import math
 
@@ -562,17 +564,29 @@ def heavy_hitters(
         )
 
     sketch = items.mapInPandas(mg, "item string, part_rows long").persist()
-    total = sketch.agg(F.sum("part_rows")).collect()[0][0] or 0
-    candidates = sketch.filter(F.col("item").isNotNull()).select("item").distinct()
+    try:
+        # ONE materialization of the sketch serves both outputs.  The
+        # candidate set is bounded by cap × #partitions (KBs–MBs — the
+        # same order as the broadcast it feeds), so collecting it to the
+        # driver is the bounded-sample pattern, and the returned plan is
+        # then pure JVM (local relation broadcast + semi join + agg).
+        rows = sketch.groupBy("item").agg(F.sum("part_rows").alias("pr")).collect()
+        total = sum(r["pr"] for r in rows)
+        cand = [(r["item"],) for r in rows if r["item"] is not None]
+    finally:
+        sketch.unpersist()
+    spark = df.sparkSession
+    candidates = spark.createDataFrame(cand or [(None,)], "item string")
+    if not cand:
+        candidates = candidates.filter(F.col("item").isNotNull())
     min_n = math.ceil(threshold_frac * total)
-    out = (
+    return (
         items.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_n)
         .orderBy(F.desc("n"), "item")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
