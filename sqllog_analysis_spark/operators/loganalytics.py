@@ -31,17 +31,25 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 #      [^']* spans newlines in all three engines without DOTALL)
 #   2. hex literals -> ?             (before the digit rule so 0x1f doesn't
 #      decay into "?x?f")
-#   3. standalone numbers -> ?       (\b keeps identifiers like col_0
-#      intact: '_'..'0' is word..word, no boundary)
+#   3. standalone numbers -> ?       (the lookarounds keep identifiers
+#      like col_0 intact: '_' is in the word class)
 #   4. IN-list / VALUES-tuple collapse: (?, ?, ?) -> (?)  so list arity
 #      doesn't explode shape cardinality
 #   5. whitespace collapse + trim + lowercase
+#
+# No \b, \d, or \s appears in any pattern: those escapes are
+# engine-DEPENDENT (Java's \b is Unicode-aware while \d is ASCII;
+# Python's are all Unicode unless re.ASCII; RE2's are ASCII), so the
+# rules spell out explicit ASCII classes and lookarounds, which mean
+# the same thing in Java regex, Python re, and RE2.
+_WORD = "0-9a-zA-Z_"
+_WS = r" \t\n\r\f\x0B"
 _SHAPE_RULES: list[tuple[str, str]] = [
     (r"'([^']|'')*'", "?"),
-    (r"\b0x[0-9a-fA-F]+\b", "?"),
-    (r"\b\d+(\.\d+)?\b", "?"),
-    (r"\(\s*\?\s*(,\s*\?\s*)*\)", "(?)"),
-    (r"\s+", " "),
+    (rf"(?<![{_WORD}])0x[0-9a-fA-F]+(?![{_WORD}])", "?"),
+    (rf"(?<![{_WORD}])[0-9]+(\.[0-9]+)?(?![{_WORD}])", "?"),
+    (rf"\([{_WS}]*\?[{_WS}]*(,[{_WS}]*\?[{_WS}]*)*\)", "(?)"),
+    (rf"[{_WS}]+", " "),
 ]
 
 
@@ -58,14 +66,14 @@ def normalize_sql_shape_py(text: str) -> str:
     """Pure-Python mirror of :func:`normalize_sql_shape` — used by the
     contract-expected generator and the Spark-vs-Python parity test.
 
-    ``re.ASCII`` pins ``\\s`` / ``\\d`` / ``\\b`` to ASCII semantics:
-    Java regex (Spark) and RE2 (DuckDB) are ASCII-only for these classes
-    by default, while Python's are Unicode-aware — without the flag a
-    statement containing U+00A0 or a Unicode digit would shape
-    differently here than in Spark."""
+    The rules avoid engine-dependent escapes (see ``_SHAPE_RULES``), so
+    plain ``re.sub`` is exact.  The final strip removes ASCII spaces
+    only — Spark's ``trim`` trims 0x20, while Python's bare ``.strip()``
+    would also eat a leading/trailing NBSP (other ASCII whitespace is
+    already collapsed to spaces by the last rule)."""
     for pat, rep in _SHAPE_RULES:
-        text = re.sub(pat, rep, text, flags=re.ASCII)
-    return text.strip().lower()
+        text = re.sub(pat, rep, text)
+    return text.strip(" ").lower()
 
 
 def sql_shape_digest(

@@ -271,6 +271,36 @@ def test_blocked_fuzzy_pairs_blocks_and_filters(spark):
     assert got == [(1, 2, 1)]
 
 
+def test_normalize_sql_shape_parity_fuzz(spark):
+    """Hypothesis fuzz: random statement-ish strings (quotes, numbers,
+    hex, tuples, unicode, newlines) must shape identically through the
+    Spark regexp chain and the re.ASCII Python mirror."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(
+        list("abcXYZ_ 0123456789'(),=?.\n\t-–٣ ")
+        + ["''", "0x1F", "IN (1,2)", "= 'it''s'", "3.14", "col_0"]
+    )
+    texts = st.lists(
+        st.lists(token, max_size=25).map("".join), min_size=1, max_size=30
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts)
+    def run(batch):
+        sdf = spark.createDataFrame(pd.DataFrame({"t": pd.Series(batch, dtype="string")}))
+        got = [
+            r["s"]
+            for r in sdf.select(LA.normalize_sql_shape("t").alias("s"))
+            .toPandas()
+            .to_dict("records")
+        ]
+        assert got == [LA.normalize_sql_shape_py(t) for t in batch]
+
+    run()
+
+
 # ---------------------------------------------------------------------------
 # Reply latency
 # ---------------------------------------------------------------------------
