@@ -174,6 +174,20 @@ def main(argv: list[str] | None = None) -> int:
                         spark, out_dir, top_k=args.digest
                     ).collect()
                 ]
+            hist_root = os.path.join(out_dir, "latency_hist_stream")
+            if args.digest and os.path.isdir(hist_root):
+                from sqllog_analysis_spark.streaming.stream_pipeline import (
+                    read_stream_latency,
+                )
+
+                summary["latency_percentiles"] = {
+                    r["category"]: {
+                        "n": r["n"],
+                        "q50_ub_ms": r["q50_ub_ms"],
+                        "q99_ub_ms": r["q99_ub_ms"],
+                    }
+                    for r in read_stream_latency(spark, out_dir).collect()
+                }
             print(json.dumps(summary, ensure_ascii=False))
             return 0
         summary = run_pipeline(

@@ -10,7 +10,7 @@ watermarked event-time windows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sqllog_analysis_spark.functions.parse import parse_transcripts
 from sqllog_analysis_spark.operators.routing import route_records
@@ -342,6 +342,7 @@ def _full_graph_batch_writer(out_dir: str, slow_ms: int):
         )
         _write_batch_metrics(out_dir, batch_id, n_errors=int(obs.get["n"]))
         _write_digest_partial(writable, out_dir, batch_id)
+        _write_latency_hist_partial(writable, out_dir, batch_id)
 
     return write_batch
 
@@ -363,6 +364,72 @@ def _write_digest_partial(routed: DataFrame, out_dir: str, batch_id: int) -> Non
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "digest_stream", f"ingest_batch={batch_id}"))
     )
+
+
+def _write_latency_hist_partial(routed: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Per-batch latency histogram PARTIAL: execute_time bucketed into
+    log2 bins per category.  Like the digest, a histogram is a bag of
+    counts — associative — so per-batch partials under exactly-once
+    ``ingest_batch=`` overwrites fold losslessly into the running
+    distribution, from which any percentile is answerable within one
+    bin's width (factor-2 on log2 bins) without retaining a single raw
+    latency.  This is the streaming analog of the reference's slow-query
+    analysis (EXECTIME thresholds, README.md:470-493) at unbounded
+    retention."""
+    import os
+
+    (
+        routed.filter(F.col("execute_time").isNotNull())
+        .groupBy(
+            "category",
+            F.least(
+                F.floor(F.log2(F.col("execute_time") + 1)), F.lit(40)
+            ).cast("int").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "latency_hist_stream", f"ingest_batch={batch_id}"))
+    )
+
+
+def read_stream_latency(
+    spark: SparkSession, out_dir: str, quantiles: tuple[float, ...] = (0.5, 0.99)
+) -> DataFrame:
+    """Per-category latency percentiles from the folded histogram
+    partials: for each requested quantile q, the upper bound of the
+    first bin whose cumulative count reaches q·total — an over-estimate
+    by at most the bin width (exact value ∈ (2^bin - 1, 2^(bin+1) - 1]).
+
+    Returns (category, n, q50_ub_ms, q99_ub_ms, …) — one row per
+    category; column per quantile, named ``q<pct>_ub_ms``.
+    """
+    import os
+
+    hist = (
+        spark.read.parquet(os.path.join(out_dir, "latency_hist_stream"))
+        .groupBy("category", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = Window.partitionBy("category").orderBy("bin")
+    tot = Window.partitionBy("category")
+    cum = hist.select(
+        "category",
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(tot).alias("total"),
+    )
+    aggs = [F.max("total").alias("n")]
+    for q in quantiles:
+        ub = F.min(
+            F.when(
+                F.col("cum") >= q * F.col("total"),
+                # bin upper bound 2^(bin+1)-1; SQL shiftleft accepts a
+                # column bit count (the DataFrame fn wants a literal)
+                F.expr("shiftleft(CAST(1 AS BIGINT), bin + 1) - 1"),
+            )
+        )
+        aggs.append(ub.alias(f"q{int(q * 100)}_ub_ms"))
+    return cum.groupBy("category").agg(*aggs).orderBy("category")
 
 
 def read_stream_digest(

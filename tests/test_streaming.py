@@ -333,6 +333,21 @@ def test_stream_digest_matches_batch_digest(spark, tmp_path):
     sel = [r for r in got if r[0] == "select ? exectime: ?(ms) rowcount: ? exec_id: ?."]
     assert sel and sel[0][1] == 2 and sel[0][3] == 140
 
+    # latency-histogram partials folded across batches: per-category
+    # percentile upper bound brackets the exact percentile within its
+    # log2 bin — here all timed records are 'chat' (40ms, 100ms)
+    from sqllog_analysis_spark.streaming.stream_pipeline import read_stream_latency
+
+    lat = {r["category"]: r for r in read_stream_latency(spark, out).collect()}
+    chat = lat["chat"]
+    assert chat["n"] == 2
+    # p50 = 40ms → bin floor(log2 41) = 5 → ub 2^6-1 = 63
+    assert chat["q50_ub_ms"] == 63
+    # p99 = 100ms → bin floor(log2 101) = 6 → ub 2^7-1 = 127
+    assert chat["q99_ub_ms"] == 127
+    for r in lat.values():  # bound property: ub ≥ the exact max it covers
+        assert r["q99_ub_ms"] >= r["q50_ub_ms"]
+
 
 @pytest.mark.slow
 def test_stream_transcript_pipeline_degenerate_split_across_batches(spark, tmp_path):
