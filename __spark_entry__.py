@@ -1004,6 +1004,15 @@ def q_heavy_hitters(spark, sf_dir):
     return LA.heavy_hitters(toks, "item", 0.01)
 
 
+def q_sql_shape_exemplars(spark, sf_dir):
+    """Worst-case exemplar per top-5 statement shape (the jump-to-record
+    half of the pt-query-digest report;
+    loganalytics.py::sql_shape_exemplars), pinned by hard-oracle
+    constants from the pure-Python replay."""
+    g = _pipeline_graph(spark, sf_dir)
+    return LA.sql_shape_exemplars(g["routed"], top_k=5)
+
+
 def q_reply_latency(spark, sf_dir):
     """User→assistant reply-latency stats over the pinned contract
     corpus (loganalytics.py::reply_latency): exact integer-microsecond
@@ -1133,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "heavy_hitters": q_heavy_hitters,
         "reply_latency": q_reply_latency,
+        "sql_shape_exemplars": q_sql_shape_exemplars,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
         "pipeline_conv_buckets": q_pipeline_conv_buckets,
@@ -1476,7 +1486,27 @@ def _pipeline_oracle_sql(n_turns: int = _CONTRACT_N_TURNS) -> dict[str, str]:
         for s, n, nt, tot in e["sql_shapes_top15"]
     )
     rl = e["reply_latency"]
+    ex_vals = ", ".join(
+        "('{}', {}, {}, '{}', {}, {})".format(
+            s.replace("'", "''"),
+            n,
+            "NULL" if w is None else w,
+            c.replace("'", "''"),
+            t,
+            ri,
+        )
+        for s, n, w, c, t, ri in e["sql_shape_exemplars_top5"]
+    )
     return {
+        "sql_shape_exemplars": f"""
+            SELECT shape, CAST(n AS BIGINT) AS n,
+                   CAST(worst_ms AS BIGINT) AS worst_ms,
+                   conv_id, CAST(turn_idx AS INT) AS turn_idx,
+                   CAST(rec_idx AS INT) AS rec_idx
+            FROM (VALUES {ex_vals})
+                 AS t(shape, n, worst_ms, conv_id, turn_idx, rec_idx)
+            ORDER BY n DESC, shape
+        """,
         "reply_latency": f"""
             SELECT CAST({rl["n_pairs"]} AS BIGINT) AS n_pairs,
                    {rl["avg_us"]} AS avg_us,

@@ -315,6 +315,44 @@ def blocked_fuzzy_pairs(
     )
 
 
+def sql_shape_exemplars(
+    records: DataFrame,
+    sql_col: str = "description",
+    time_col: str = "execute_time",
+    locator_cols: tuple[str, ...] = ("conv_id", "turn_idx", "rec_idx"),
+    top_k: int = 5,
+) -> DataFrame:
+    """Worst-case exemplar per statement shape — the other half of a
+    pt-query-digest report: for each of the ``top_k`` highest-volume
+    shapes, the slowest occurrence's latency and its locator, so an
+    operator can jump from a shape to a concrete offending record.
+
+    Returns (shape, n, worst_ms, *locator_cols) ordered by (n desc,
+    shape).  The argmax is ``max(struct(time, *locator))`` — struct
+    ordering puts NULL first, so an all-untimed shape still yields a
+    deterministic exemplar (largest locator) with ``worst_ms`` NULL.
+
+    Scale shape: same single map-side-combined aggregate as
+    :func:`sql_shape_digest` — the struct max is just a wider partial.
+    """
+    shaped = records.select(
+        normalize_sql_shape(sql_col).alias("shape"),
+        F.struct(F.col(time_col).alias("_t"), *locator_cols).alias("_w"),
+    )
+    return (
+        shaped.groupBy("shape")
+        .agg(F.count("*").alias("n"), F.max("_w").alias("_w"))
+        .select(
+            "shape",
+            "n",
+            F.col("_w._t").alias("worst_ms"),
+            *[F.col(f"_w.{c}").alias(c) for c in locator_cols],
+        )
+        .orderBy(F.desc("n"), "shape")
+        .limit(top_k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Conversation reply latency
 # ---------------------------------------------------------------------------

@@ -31,6 +31,8 @@ def test_all_contract_sizes_present():
             "n_errors",
             "conv_buckets_by_category",
             "sql_shapes_top15",
+            "sql_shape_exemplars_top5",
             "reply_latency",
         } <= set(e), n
         assert len(e["sql_shapes_top15"]) == 15
+        assert len(e["sql_shape_exemplars_top5"]) == 5

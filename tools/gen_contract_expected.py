@@ -69,21 +69,25 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
     conv_errors: dict[str, list] = {}
     conv_records: dict[str, list] = {}
     shapes: dict[str, tuple[int, int, int]] = {}
-    for conv_id, text in zip(df["conv_id"], df["text"]):
+    for conv_id, turn_idx, text in zip(df["conv_id"], df["turn_idx"], df["text"]):
         records, errors, has_ts = parse_turn_text(text)
         conv_has_ts[conv_id] = conv_has_ts.get(conv_id, False) or has_ts
         conv_errors.setdefault(conv_id, []).extend(errors)
-        conv_records.setdefault(conv_id, []).extend(records)
+        # rec_idx: records number 0.. within their turn (parse.py:167-170)
+        conv_records.setdefault(conv_id, []).extend(
+            (r, int(turn_idx), ri) for ri, r in enumerate(records)
+        )
 
     degen = {c for c, h in conv_has_ts.items() if not h}
 
     # records after the degenerate-conversation drop (route_records_clean)
     counts: dict[str, int] = {}
     max_exec: dict[str, int | None] = {}
+    exemplars: dict[str, tuple] = {}
     for conv_id, recs in conv_records.items():
         if conv_id in degen:
             continue
-        for r in recs:
+        for r, turn_idx, rec_idx in recs:
             cat = categorize(r)
             counts[cat] = counts.get(cat, 0) + 1
             if r.execute_time is not None:
@@ -99,6 +103,18 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
                 nt + (r.execute_time is not None),
                 tot + (r.execute_time or 0),
             )
+            # worst-case exemplar (loganalytics.sql_shape_exemplars):
+            # Spark's max(struct(t, conv, turn, rec)) with NULL-first
+            # struct ordering ≙ this tuple key
+            key = (
+                r.execute_time is not None,
+                r.execute_time or 0,
+                conv_id,
+                turn_idx,
+                rec_idx,
+            )
+            if s not in exemplars or key > exemplars[s][0]:
+                exemplars[s] = (key, (r.execute_time, conv_id, turn_idx, rec_idx))
 
     # route_errors: normal convs pass all; degenerate convs pass all iff a
     # Utf8-class error exists, else exactly one synthetic row (io.rs:147-167)
@@ -115,6 +131,10 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
     # above because conv_errors has an entry for every conv.
 
     top15 = sorted(shapes.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
+    ex_top5 = [
+        (s, shapes[s][0], *exemplars[s][1])
+        for s, _ in sorted(shapes.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
+    ]
 
     # reply_latency (loganalytics.reply_latency mirror): per user turn,
     # µs until the next assistant turn in the same conversation
@@ -150,6 +170,7 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
             (c, counts[c], max_exec.get(c)) for c in counts
         ),
         "sql_shapes_top15": [(s, n, nt, tot) for s, (n, nt, tot) in top15],
+        "sql_shape_exemplars_top5": ex_top5,
     }
 
 
