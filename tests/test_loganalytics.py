@@ -141,6 +141,25 @@ def test_funnel_strictly_after_excludes_ties(spark):
     assert (got.step1_users, got.step2_users) == (1, 0)
 
 
+def test_funnel_iterative_equals_window_variant(spark):
+    """The skew-immune aggregate+join funnel must equal the window funnel
+    on a random corpus INCLUDING a mega-user (40% of all events)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    types = ["view", "click", "purchase", "other"]
+    rows = []
+    for i in range(3000):
+        u = "mega" if rng.random() < 0.4 else f"u{rng.integers(0, 80)}"
+        rows.append((u, types[int(rng.integers(0, 4))], _m(float(i))))
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    steps = ["view", "click", "purchase"]
+    a = LA.funnel_counts(df, steps).collect()[0]
+    b = LA.funnel_counts_iterative(df, steps).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a.step1_users > 0 and a.step3_users > 0  # non-degenerate fixture
+
+
 # ---------------------------------------------------------------------------
 # Cohort retention
 # ---------------------------------------------------------------------------
