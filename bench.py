@@ -143,14 +143,15 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
 
     qs = entry_mod.queries()
-    # best-of-2 per query: one-sided host stalls inflate single-shot
+    # best-of-3 per query: one-sided host stalls inflate single-shot
     # operator timings just as they inflate pipeline runs (a 0.6 s query
-    # reads as 5 s in a stall window), so operator queries use the same
-    # min-over-samples estimator as _time_pipeline.
+    # reads as 5 s in a stall window; stalls have been observed to span
+    # consecutive runs), so operator queries use the same min-over-samples
+    # estimator as _time_pipeline.
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
