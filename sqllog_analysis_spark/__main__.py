@@ -160,8 +160,26 @@ def main(argv: list[str] | None = None) -> int:
                 spark, cfg, out_dir, args.follow_seconds, gap=args.follow_gap
             )
             summary["in_memory"] = cfg.in_memory
+            rec_root = os.path.join(out_dir, "records_stream")
+
+            def _batches(root: str) -> set[str]:
+                import glob as _g
+
+                return {
+                    os.path.basename(p)
+                    for p in _g.glob(os.path.join(root, "ingest_batch=*"))
+                }
+
             dig_root = os.path.join(out_dir, "digest_stream")
-            if args.digest and os.path.isdir(dig_root):
+            # partials must cover every records batch — a session resumed
+            # from a checkpoint written before digest partials existed has
+            # records batches with no partial, and folding only the new
+            # ones would silently under-report; fall back to the full
+            # records scan there
+            covered = args.digest and os.path.isdir(dig_root) and _batches(
+                rec_root
+            ) <= _batches(dig_root)
+            if covered:
                 # fold the tiny per-batch digest partials — O(#batches ×
                 # #shapes), never a rescan of the records sink
                 from sqllog_analysis_spark.streaming.stream_pipeline import (
@@ -174,8 +192,23 @@ def main(argv: list[str] | None = None) -> int:
                         spark, out_dir, top_k=args.digest
                     ).collect()
                 ]
+            elif args.digest and os.path.isdir(rec_root):
+                from sqllog_analysis_spark.operators.loganalytics import (
+                    sql_shape_digest,
+                )
+
+                summary["workload_digest"] = [
+                    [r["shape"], r["n"], r["n_timed"], r["total_exec_ms"]]
+                    for r in sql_shape_digest(
+                        spark.read.parquet(rec_root), top_k=args.digest
+                    ).collect()
+                ]
             hist_root = os.path.join(out_dir, "latency_hist_stream")
-            if args.digest and os.path.isdir(hist_root):
+            if (
+                args.digest
+                and os.path.isdir(hist_root)
+                and _batches(rec_root) <= _batches(hist_root)
+            ):
                 from sqllog_analysis_spark.streaming.stream_pipeline import (
                     read_stream_latency,
                 )

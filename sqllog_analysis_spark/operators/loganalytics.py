@@ -39,9 +39,11 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 #
 # No \b, \d, or \s appears in any pattern: those escapes are
 # engine-DEPENDENT (Java's \b is Unicode-aware while \d is ASCII;
-# Python's are all Unicode unless re.ASCII; RE2's are ASCII), so the
-# rules spell out explicit ASCII classes and lookarounds, which mean
-# the same thing in Java regex, Python re, and RE2.
+# Python's are all Unicode unless re.ASCII), so the rules spell out
+# explicit ASCII classes and lookarounds, which mean the same thing in
+# Java regex and Python re — the two engines that actually run them
+# (the DuckDB oracle consumes pre-computed constants, not these
+# patterns; RE2 has no lookarounds, so don't port rules 2-3 verbatim).
 _WORD = "0-9a-zA-Z_"
 _WS = r" \t\n\r\f\x0B"
 _SHAPE_RULES: list[tuple[str, str]] = [
@@ -175,23 +177,30 @@ def funnel_counts_iterative(
     exchange beats k); prefer this when a key can be huge.
     """
     ev = events.select(user_col, type_col, ts_col)
-    # step 0: plain conditional min — no join needed
+    # step 0: plain conditional min — no join needed.  Each frontier is
+    # persisted (and the previous one released) so the per-step count()
+    # actions don't rebuild the whole chain from raw events — without
+    # the persist, k steps would scan events O(k²/2) times.
     frontier = (
         ev.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_s0"))
+        .persist()
     )
     counts = [frontier.count()]
     for i, s in enumerate(steps[1:], start=1):
-        prev = f"_s{i - 1}"
+        prev_f, prev = frontier, f"_s{i - 1}"
         frontier = (
             ev.filter(F.col(type_col) == s)
             .join(frontier, user_col)
             .filter(F.col(ts_col) > F.col(prev))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"_s{i}"))
+            .persist()
         )
         counts.append(frontier.count())
+        prev_f.unpersist()
+    frontier.unpersist()
     spark = events.sparkSession
     return spark.createDataFrame(
         [tuple(counts)],
@@ -667,9 +676,7 @@ def heavy_hitters(
     finally:
         sketch.unpersist()
     spark = df.sparkSession
-    candidates = spark.createDataFrame(cand or [(None,)], "item string")
-    if not cand:
-        candidates = candidates.filter(F.col("item").isNotNull())
+    candidates = spark.createDataFrame(cand, "item string")
     min_n = math.ceil(threshold_frac * total)
     return (
         items.join(F.broadcast(candidates), "item", "left_semi")

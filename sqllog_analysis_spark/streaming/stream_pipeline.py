@@ -320,10 +320,16 @@ def _full_graph_batch_writer(out_dir: str, slow_ms: int):
 
         g = downstream(bdf.sparkSession, parse_transcripts(bdf), slow_ms=slow_ms)
         writable, contract_bad = split_sink_contract(g["routed"])
-        (
+        # persisted for the batch: the records write AND the two partial
+        # sinks below share ONE execution of the Python parse instead of
+        # re-running the graph per action
+        writable = (
             writable.drop(*_ERROR_PATH_COLS)  # all-NULL on routed records
             .withColumn("dt", F.to_date("ts"))
-            .sortWithinPartitions("category", "dt", "session", "thread", "trx_id")
+            .persist()
+        )
+        (
+            writable.sortWithinPartitions("category", "dt", "session", "thread", "trx_id")
             .write.mode("overwrite")
             .partitionBy("category", "dt")
             .parquet(os.path.join(rec_root, f"ingest_batch={batch_id}"))
@@ -343,6 +349,7 @@ def _full_graph_batch_writer(out_dir: str, slow_ms: int):
         _write_batch_metrics(out_dir, batch_id, n_errors=int(obs.get["n"]))
         _write_digest_partial(writable, out_dir, batch_id)
         _write_latency_hist_partial(writable, out_dir, batch_id)
+        writable.unpersist()
 
     return write_batch
 
@@ -361,6 +368,7 @@ def _write_digest_partial(routed: DataFrame, out_dir: str, batch_id: int) -> Non
 
     (
         sql_shape_digest(routed)
+        .coalesce(1)  # a zero-record batch still writes a schema-bearing file
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "digest_stream", f"ingest_batch={batch_id}"))
     )
@@ -387,6 +395,7 @@ def _write_latency_hist_partial(routed: DataFrame, out_dir: str, batch_id: int) 
             ).cast("int").alias("bin"),
         )
         .agg(F.count("*").alias("n"))
+        .coalesce(1)  # a zero-record batch still writes a schema-bearing file
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "latency_hist_stream", f"ingest_batch={batch_id}"))
     )
@@ -396,12 +405,15 @@ def read_stream_latency(
     spark: SparkSession, out_dir: str, quantiles: tuple[float, ...] = (0.5, 0.99)
 ) -> DataFrame:
     """Per-category latency percentiles from the folded histogram
-    partials: for each requested quantile q, the upper bound of the
-    first bin whose cumulative count reaches q·total — an over-estimate
-    by at most the bin width (exact value ∈ (2^bin - 1, 2^(bin+1) - 1]).
+    partials: for each requested quantile q, the TIGHT upper bound of
+    the first bin whose cumulative count reaches q·total — bin b holds
+    exactly t ∈ [2^b − 1, 2^(b+1) − 2] (floor(log2(t+1)) = b), so the
+    reported value is 2^(b+1) − 2 and the true percentile lies within
+    one bin width below it.
 
     Returns (category, n, q50_ub_ms, q99_ub_ms, …) — one row per
-    category; column per quantile, named ``q<pct>_ub_ms``.
+    category; column per quantile, named ``q<pct>_ub_ms`` (fractional
+    percentiles keep their digits: 0.999 → ``q99_9_ub_ms``).
     """
     import os
 
@@ -423,12 +435,15 @@ def read_stream_latency(
         ub = F.min(
             F.when(
                 F.col("cum") >= q * F.col("total"),
-                # bin upper bound 2^(bin+1)-1; SQL shiftleft accepts a
-                # column bit count (the DataFrame fn wants a literal)
-                F.expr("shiftleft(CAST(1 AS BIGINT), bin + 1) - 1"),
+                # tight bin upper bound 2^(bin+1)-2; SQL shiftleft accepts
+                # a column bit count (the DataFrame fn wants a literal)
+                F.expr("shiftleft(CAST(1 AS BIGINT), bin + 1) - 2"),
             )
         )
-        aggs.append(ub.alias(f"q{int(q * 100)}_ub_ms"))
+        # %g keeps fractional percentiles distinct (0.999 → q99_9, not a
+        # second q99) without trailing zeros
+        pct = ("%g" % (q * 100)).replace(".", "_")
+        aggs.append(ub.alias(f"q{pct}_ub_ms"))
     return cum.groupBy("category").agg(*aggs).orderBy("category")
 
 

@@ -57,8 +57,8 @@ def test_normalize_sql_shape_spark_python_parity(spark):
     """The Spark regexp chain and the pure-Python mirror agree on every
     fixture case plus generator-grammar statements (the contract corpus'
     SQL bodies with literals, params tuples, and multiline strings) AND
-    non-ASCII input — Python re runs with re.ASCII so \\d/\\s/\\b match
-    Java/RE2 semantics (a Unicode digit or U+00A0 must NOT mask)."""
+    non-ASCII input — the rules use explicit ASCII classes/lookarounds,
+    so a Unicode digit or U+00A0 must NOT mask in either engine."""
     texts = [r for r, _ in SHAPE_CASES] + [
         "select ٣ from t where x = 42",   # Arabic-Indic digit: stays
         "select a from b where c = 7",    # NBSP is not \\s: stays
@@ -293,7 +293,9 @@ def test_blocked_fuzzy_pairs_blocks_and_filters(spark):
 def test_normalize_sql_shape_parity_fuzz(spark):
     """Hypothesis fuzz: random statement-ish strings (quotes, numbers,
     hex, tuples, unicode, newlines) must shape identically through the
-    Spark regexp chain and the re.ASCII Python mirror."""
+    Spark regexp chain and the Python mirror (the rules use explicit
+    ASCII classes/lookarounds so neither engine's escape semantics can
+    leak in)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 

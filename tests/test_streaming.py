@@ -341,10 +341,10 @@ def test_stream_digest_matches_batch_digest(spark, tmp_path):
     lat = {r["category"]: r for r in read_stream_latency(spark, out).collect()}
     chat = lat["chat"]
     assert chat["n"] == 2
-    # p50 = 40ms → bin floor(log2 41) = 5 → ub 2^6-1 = 63
-    assert chat["q50_ub_ms"] == 63
-    # p99 = 100ms → bin floor(log2 101) = 6 → ub 2^7-1 = 127
-    assert chat["q99_ub_ms"] == 127
+    # p50 = 40ms → bin floor(log2 41) = 5 holds [31, 62] → tight ub 62
+    assert chat["q50_ub_ms"] == 62
+    # p99 = 100ms → bin floor(log2 101) = 6 holds [63, 126] → tight ub 126
+    assert chat["q99_ub_ms"] == 126
     for r in lat.values():  # bound property: ub ≥ the exact max it covers
         assert r["q99_ub_ms"] >= r["q50_ub_ms"]
 

@@ -55,12 +55,14 @@ def main() -> None:
         write_transcripts(p, 2_000_000, seed=42, shards=32)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     out = os.path.join(base, "analytics_scale_out")
-    if not os.path.exists(os.path.join(out, "records")):
-        shutil.rmtree(out, ignore_errors=True)
-        run_pipeline(
-            spark,
-            PipelineConfig(input_path=p, output_dir=out, resume=False, target_partitions=128),
-        )
+    # always rebuild: a leftover dir can only be a crashed previous run's
+    # PARTIAL sink, and benchmarking incomplete data would publish wrong
+    # records/sec with no warning
+    shutil.rmtree(out, ignore_errors=True)
+    run_pipeline(
+        spark,
+        PipelineConfig(input_path=p, output_dir=out, resume=False, target_partitions=128),
+    )
     rec = read_sink(spark, out)
     n_rec = rec.count()
     sql_shape_digest(rec, top_k=15).collect()  # warm-up (codegen/JIT)

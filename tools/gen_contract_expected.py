@@ -131,10 +131,8 @@ def expected_for(n_turns: int, seed: int = SEED) -> dict:
     # above because conv_errors has an entry for every conv.
 
     top15 = sorted(shapes.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
-    ex_top5 = [
-        (s, shapes[s][0], *exemplars[s][1])
-        for s, _ in sorted(shapes.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
-    ]
+    # same ranking, same list — top-5 exemplars can't diverge from top15
+    ex_top5 = [(s, n, *exemplars[s][1]) for s, (n, _, _) in top15[:5]]
 
     # reply_latency (loganalytics.reply_latency mirror): per user turn,
     # µs until the next assistant turn in the same conversation
