@@ -349,6 +349,32 @@ def test_stream_digest_matches_batch_digest(spark, tmp_path):
         assert r["q99_ub_ms"] >= r["q50_ub_ms"]
 
 
+def test_read_stream_latency_math_and_fractional_names(spark, tmp_path):
+    """Percentile selection over a hand-built histogram: the reported
+    value is the TIGHT upper bound 2^(b+1)-2 of the first bin whose
+    cumulative count reaches q·total, and fractional quantiles get
+    distinct column names (0.999 → q99_9_ub_ms, not a second q99)."""
+    import pandas as pd
+
+    from sqllog_analysis_spark.streaming.stream_pipeline import read_stream_latency
+
+    out = str(tmp_path / "o")
+    # 100 records: 90 in bin 3 ([7,14]ms), 9 in bin 6 ([63,126]), 1 in bin 10
+    hist = pd.DataFrame(
+        {"category": ["chat"] * 3, "bin": [3, 6, 10], "n": [90, 9, 1]}
+    )
+    spark.createDataFrame(hist).write.parquet(
+        out + "/latency_hist_stream/ingest_batch=0"
+    )
+    row = read_stream_latency(
+        spark, out, quantiles=(0.5, 0.99, 0.999)
+    ).collect()[0]
+    assert row["n"] == 100
+    assert row["q50_ub_ms"] == 2**4 - 2      # bin 3 covers p50
+    assert row["q99_ub_ms"] == 2**7 - 2      # bins 3+6 reach 99
+    assert row["q99_9_ub_ms"] == 2**11 - 2   # needs the bin-10 record
+
+
 @pytest.mark.slow
 def test_stream_transcript_pipeline_degenerate_split_across_batches(spark, tmp_path):
     """Transcripts-mode streaming with FULL batch parity: a degenerate
