@@ -1004,6 +1004,29 @@ def q_heavy_hitters(spark, sf_dir):
     return LA.heavy_hitters(toks, "item", 0.01)
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based session table: one ordered window exchange, per-session
+    rollup on the same partitioning (loganalytics.py::session_stats)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.session_stats(e, gap_seconds=1800, tiebreak_col="event_id")
+
+
+def q_crosstab_chi2(spark, sf_dir):
+    """event_type × weekday contingency with chi-square contributions
+    (loganalytics.py::crosstab_chi2)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.crosstab_chi2(
+        e, "event_type", F.dayofweek("ts") - 1, col_name="dow"
+    )
+
+
+def q_group_entropy(spark, sf_dir):
+    """Per-event-type user-distribution entropy — concentration/abuse
+    signal (loganalytics.py::group_entropy)."""
+    e = _t(spark, sf_dir, "events")
+    return LA.group_entropy(e, "event_type", "user_id")
+
+
 def q_sql_shape_exemplars(spark, sf_dir):
     """Worst-case exemplar per top-5 statement shape (the jump-to-record
     half of the pt-query-digest report;
@@ -1143,6 +1166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "reply_latency": q_reply_latency,
         "sql_shape_exemplars": q_sql_shape_exemplars,
+        "session_stats": q_session_stats,
+        "crosstab_chi2": q_crosstab_chi2,
+        "group_entropy": q_group_entropy,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_errors": q_pipeline_errors,
         "pipeline_conv_buckets": q_pipeline_conv_buckets,
@@ -1951,6 +1977,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 2.0), 0), 24) AS INT) AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY event_type, bin ORDER BY event_type, bin
+        """,
+        "session_stats": """
+            WITH f AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 1800 SECOND
+                            THEN 0 ELSE 1 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS INT) AS session_id
+                FROM f
+            )
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(epoch(MAX(ts) - MIN(ts)), 6) AS duration_s
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "crosstab_chi2": """
+            WITH cells AS (
+                SELECT event_type AS row,
+                       date_part('dow', ts) AS dow,
+                       COUNT(*) AS n
+                FROM events GROUP BY row, dow
+            )
+            SELECT row, CAST(dow AS INT) AS dow, n,
+                   ROUND(SUM(n) OVER (PARTITION BY row)
+                         * SUM(n) OVER (PARTITION BY dow)
+                         / CAST(SUM(n) OVER () AS DOUBLE), 6) AS expected,
+                   ROUND((n - SUM(n) OVER (PARTITION BY row)
+                              * SUM(n) OVER (PARTITION BY dow)
+                              / CAST(SUM(n) OVER () AS DOUBLE))
+                         * (n - SUM(n) OVER (PARTITION BY row)
+                                * SUM(n) OVER (PARTITION BY dow)
+                                / CAST(SUM(n) OVER () AS DOUBLE))
+                         / (SUM(n) OVER (PARTITION BY row)
+                            * SUM(n) OVER (PARTITION BY dow)
+                            / CAST(SUM(n) OVER () AS DOUBLE)), 6) AS chi2
+            FROM cells ORDER BY row, dow
+        """,
+        "group_entropy": """
+            WITH pairs AS (
+                SELECT event_type AS grp, user_id AS unit, COUNT(*) AS c
+                FROM events GROUP BY grp, unit
+            ), p AS (
+                SELECT grp, c,
+                       c / CAST(SUM(c) OVER (PARTITION BY grp) AS DOUBLE) AS p
+                FROM pairs
+            )
+            SELECT grp, SUM(c) AS n, COUNT(*) AS n_units,
+                   ROUND(SUM(-p * ln(p)), 6) AS entropy
+            FROM p GROUP BY grp ORDER BY grp
         """,
         "heavy_hitters": r"""
             WITH t AS (

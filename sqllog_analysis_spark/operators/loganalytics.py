@@ -246,6 +246,142 @@ def cohort_retention(
 
 
 # ---------------------------------------------------------------------------
+# Sessionization to a session table
+# ---------------------------------------------------------------------------
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Materialize gap-based sessions as a table: one row per (user,
+    session) with start/end timestamps, event count, and duration.
+
+    A session breaks when consecutive events are more than
+    ``gap_seconds`` apart (event time).  Session ids number 1.. within
+    each user in time order.
+
+    Returns (user_col, session_id, session_start, session_end, n_events,
+    duration_s) ordered by (user, session_id).
+
+    Scale shape: the lag flag and the running-sum session id share ONE
+    ordered window exchange on the user; the per-session rollup reuses
+    that partitioning (sub-key aggregation, no second full shuffle).
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    new_s = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    sid = F.sum(new_s).over(w)
+    return (
+        events.select(user_col, *order[0:])
+        .withColumn("session_id", sid.cast("int"))
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(
+                (
+                    F.unix_micros(F.max(ts_col).cast("timestamp"))
+                    - F.unix_micros(F.min(ts_col).cast("timestamp"))
+                )
+                / 1_000_000.0,
+                6,
+            ).alias("duration_s"),
+        )
+        .orderBy(user_col, "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contingency table with chi-square contributions
+# ---------------------------------------------------------------------------
+
+def crosstab_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str | Column,
+    col_name: str = "col",
+) -> DataFrame:
+    """Contingency table with expected counts and per-cell chi-square
+    contributions — the independence diagnostic over two categorical
+    log dimensions (e.g. event type × weekday).
+
+    Returns (row, col, n, expected, chi2) per observed cell, rounded to
+    6 dp; expected = row_total · col_total / N.  All inputs are integer
+    counts, so the doubles are engine-identical.
+
+    Scale shape: ONE (row, col) aggregate of the data; marginals are
+    windows over the tiny cell table, never a second data scan.
+    """
+    c = F.col(col_col) if isinstance(col_col, str) else col_col
+    cells = (
+        df.select(F.col(row_col).alias("row"), c.alias(col_name))
+        .groupBy("row", col_name)
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.partitionBy("row")
+    wc = Window.partitionBy(col_name)
+    wt = Window.partitionBy()
+    expected = (
+        F.sum("n").over(wr) * F.sum("n").over(wc) / F.sum("n").over(wt)
+    )
+    return cells.select(
+        "row",
+        col_name,
+        "n",
+        F.round(expected, 6).alias("expected"),
+        F.round((F.col("n") - expected) * (F.col("n") - expected) / expected, 6).alias(
+            "chi2"
+        ),
+    ).orderBy("row", col_name)
+
+
+# ---------------------------------------------------------------------------
+# Distribution entropy per group
+# ---------------------------------------------------------------------------
+
+def group_entropy(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+) -> DataFrame:
+    """Shannon entropy (nats) of how a group's rows distribute over
+    units — e.g. how concentrated each event type is across users (low
+    entropy = dominated by few users; a hot-key / abuse signal).
+
+    Returns (group, n, n_units, entropy) ordered by group, rounded 6 dp.
+
+    Scale shape: one (group, unit) aggregate (map-side combined), then
+    the entropy sum over the per-unit counts of each group — a second
+    small aggregate over distinct pairs, never the raw rows again.
+    """
+    pairs = (
+        df.select(F.col(group_col).alias("grp"), F.col(unit_col).alias("unit"))
+        .groupBy("grp", "unit")
+        .agg(F.count("*").alias("c"))
+    )
+    wg = Window.partitionBy("grp")
+    p = F.col("c") / F.sum("c").over(wg)
+    return (
+        pairs.withColumn("_t", -p * F.log(p))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("n_units"),
+            F.round(F.sum("_t"), 6).alias("entropy"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 change intervals
 # ---------------------------------------------------------------------------
 

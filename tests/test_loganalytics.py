@@ -242,6 +242,65 @@ def test_scd2_intervals_null_is_a_value(spark):
 
 
 # ---------------------------------------------------------------------------
+# Session stats
+# ---------------------------------------------------------------------------
+
+def test_session_stats_gap_boundary(spark):
+    rows = [
+        ("u", _m(0), 1),
+        ("u", _m(30), 2),    # exactly 1800s later → SAME session
+        ("u", _m(60.1), 3),  # 1806s later → new session
+        ("v", _m(0), 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id int")
+    got = [
+        (r["user_id"], r["session_id"], r["n_events"], r["duration_s"])
+        for r in LA.session_stats(df, gap_seconds=1800, tiebreak_col="event_id")
+        .toPandas()
+        .to_dict("records")
+    ]
+    assert got == [("u", 1, 2, 1800.0), ("u", 2, 1, 0.0), ("v", 1, 1, 0.0)]
+
+
+# ---------------------------------------------------------------------------
+# Crosstab chi-square
+# ---------------------------------------------------------------------------
+
+def test_crosstab_chi2_2x2(spark):
+    # rows: a/b, cols: x/y — counts 30,10 / 10,30; N=80
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {
+        (g["row"], g["c"]): (g["n"], g["expected"], g["chi2"])
+        for g in LA.crosstab_chi2(df, "r", "c", col_name="c").toPandas().to_dict("records")
+    }
+    # every marginal is 40 → expected 40*40/80 = 20; chi2 = (30-20)^2/20 = 5
+    assert got == {
+        ("a", "x"): (30, 20.0, 5.0),
+        ("a", "y"): (10, 20.0, 5.0),
+        ("b", "x"): (10, 20.0, 5.0),
+        ("b", "y"): (30, 20.0, 5.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Group entropy
+# ---------------------------------------------------------------------------
+
+def test_group_entropy_uniform_and_degenerate(spark):
+    rows = [("g1", "u1"), ("g1", "u2"), ("g2", "u1"), ("g2", "u1")]
+    df = spark.createDataFrame(rows, "grp string, unit string")
+    got = {
+        r["grp"]: (r["n"], r["n_units"], r["entropy"])
+        for r in LA.group_entropy(df, "grp", "unit").toPandas().to_dict("records")
+    }
+    assert got["g1"] == (2, 2, round(math.log(2), 6))  # uniform over 2 units
+    assert got["g2"][0] == 2 and got["g2"][1] == 1 and got["g2"][2] == 0.0
+
+
+# ---------------------------------------------------------------------------
 # DQ report
 # ---------------------------------------------------------------------------
 
