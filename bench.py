@@ -66,6 +66,8 @@ HEADLINE = [
     "bm25_topk",
     "heavy_hitters",
     "event_transitions",
+    "session_stats",
+    "group_entropy",
 ]
 
 
