@@ -148,6 +148,36 @@ def test_temporal_joins_never_nested_loop(spark, which):
     assert "BroadcastNestedLoopJoin" not in txt
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    with ZERO exchanges — the write-time layout (sinks/writers.py::
+    write_bucketed) replaces the per-join shuffle, the property that
+    makes repeated big-big joins affordable at 10^12 rows."""
+    from sqllog_analysis_spark.sinks.writers import write_bucketed
+
+    a = spark.range(0, 5000).select(
+        (F.col("id") % 400).alias("k"), F.col("id").alias("va")
+    )
+    b = spark.range(0, 3000).select(
+        (F.col("id") % 400).alias("k"), (F.col("id") * 2).alias("vb")
+    )
+    write_bucketed(a, "bt_a", str(tmp_path / "bt_a"), "k", buckets=8)
+    write_bucketed(b, "bt_b", str(tmp_path / "bt_b"), "k", buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        txt = plan_text(joined)
+        assert "SortMergeJoin" in txt
+        assert n_exchanges(txt) == 0  # bucket layout satisfies the join
+        # and the result is right (not just the plan shape)
+        assert joined.count() == a.join(b, "k").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_chunking_is_a_pure_projection(spark):
     from sqllog_analysis_spark.operators.corpus import chunk_documents
 
