@@ -178,6 +178,44 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_b")
 
 
+def test_zorder_layout_bounds_both_columns(spark, tmp_path):
+    """Z-order clustering (sinks/layout.py::write_zordered) makes file
+    min/max stats selective on BOTH key columns at once: per-file span
+    on each dimension is a small fraction of the full range, while a
+    single-column sort leaves the second column's spans at ~full range
+    (no pruning possible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sqllog_analysis_spark.sinks.layout import write_zordered
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 10_000).alias("x"),
+        (F.hash(F.col("id") + 7) % 10_000).alias("y"),
+    ).filter((F.col("x") >= 0) & (F.col("y") >= 0))
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            pdf = pq.read_table(f, columns=[col]).to_pandas()[col]
+            out.append(int(pdf.max()) - int(pdf.min()))
+        return sum(out) / len(out) / 10_000  # avg span as range fraction
+
+    zdir = str(tmp_path / "z")
+    ldir = str(tmp_path / "linear")
+    write_zordered(df, zdir, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(ldir)
+
+    # linear layout: perfect on x, useless on y
+    assert spans(ldir, "x") < 0.15
+    assert spans(ldir, "y") > 0.8
+    # z-order: BOTH dimensions bounded well below the full range
+    assert spans(zdir, "x") < 0.5
+    assert spans(zdir, "y") < 0.5
+
+
 def test_chunking_is_a_pure_projection(spark):
     from sqllog_analysis_spark.operators.corpus import chunk_documents
 
