@@ -134,6 +134,18 @@ def test_compact_preserves_index_sort(spark, tmp_path):
     assert key == sorted(key)
 
 
+def test_compact_accepts_uri_out_dir(spark, tmp_path):
+    """The scheme-qualified code path (s3://-style) exercised via
+    file://: pyarrow gets fs-native paths, Spark gets URI paths, and the
+    swap happens on the right filesystem."""
+    out = _pipeline(spark, tmp_path, n=800, seed=13)
+    _fragment(out, copies=2)
+    before = _rowset(spark, out)
+    stats = compact_sink(spark, "file://" + out)
+    assert stats and all(s["files_after"] < s["files_before"] for s in stats)
+    assert _rowset(spark, out) == before
+
+
 def _backdate(out: str, days: list[str]) -> None:
     """Copy the first real dt= partition to older dt= values."""
     cat_dirs = sorted(glob.glob(os.path.join(out, "records", "category=*")))
