@@ -406,6 +406,47 @@ def test_reply_latency_next_assistant_only(spark):
     assert got == [("c", 0, 180_000_000)]
 
 
+def test_reply_latency_matches_bruteforce_fuzz(spark):
+    """Random multi-turn conversations: the window implementation equals
+    an O(n²) per-conversation brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    roles = ["user", "assistant", "tool", "system"]
+    rows = []
+    for conv in range(40):
+        n = int(rng.integers(1, 12))
+        for t in range(n):
+            rows.append(
+                (f"c{conv}", t, roles[int(rng.integers(0, 4))], _m(float(len(rows))))
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    from sqllog_analysis_spark.operators.loganalytics import reply_latency
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["latency_us"])
+        for r in reply_latency(df).toPandas().to_dict("records")
+    )
+
+    by_conv: dict = {}
+    for cid, t, role, ts in rows:
+        by_conv.setdefault(cid, []).append((t, role, ts))
+    want = []
+    for cid, turns in by_conv.items():
+        turns.sort()
+        for i, (t, role, ts) in enumerate(turns):
+            if role != "user":
+                continue
+            nxt = [x for x in turns[i + 1 :] if x[1] == "assistant"]
+            if nxt:
+                want.append(
+                    (cid, t, int((nxt[0][2] - ts).total_seconds() * 1_000_000))
+                )
+    assert got == sorted(want) and len(got) > 10
+
+
 # ---------------------------------------------------------------------------
 # Z-score outliers
 # ---------------------------------------------------------------------------
