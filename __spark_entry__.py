@@ -157,12 +157,22 @@ def q_broadcast_enrich(spark, sf_dir):
 
 
 def q_window_first_order(spark, sf_dir):
+    # r6: same result as the row_number()-over-(o_orderdate, o_orderkey)
+    # window (first order per customer), computed as a min(struct) aggregate
+    # instead — partial (map-side) aggregation replaces the full per-key
+    # sort, so the exchange carries ≤ one row per customer per task.
+    # struct min == lexicographic (o_orderdate, o_orderkey) min == the
+    # window's rn=1 row; o_orderkey is unique, so the pick is total-order
+    # deterministic exactly like the window's tiebreak.
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"), F.col("o_orderdate").alias("first_orderdate"))
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("_m"))
+        .select(
+            "o_custkey",
+            F.col("_m.o_orderkey").alias("first_orderkey"),
+            F.col("_m.o_orderdate").alias("first_orderdate"),
+        )
     )
 
 
@@ -998,7 +1008,10 @@ def q_heavy_hitters(spark, sf_dir):
     Misra-Gries candidates + exact second pass — the bounded-memory shape
     for 100 TB vocabularies (loganalytics.py::heavy_hitters)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    # r6: spread a compact single-file corpus BEFORE the explode so both
+    # heavy_hitters passes (MG sketch, exact count) parallelize and the
+    # exchange moves docs, not exploded tokens (guide §2.5); no-op at scale
+    toks = DD._spread_compact_input(d).select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("item")
     )
     return LA.heavy_hitters(toks, "item", 0.01)

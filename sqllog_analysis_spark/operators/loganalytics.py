@@ -774,6 +774,12 @@ def heavy_hitters(
     import pandas as pd
 
     cap = max(1, math.ceil(1.0 / threshold_frac))
+    # r6 note: do NOT _spread_compact_input here — ``df`` is often an
+    # exploded frame (tokens), and a repartition at this point shuffles
+    # the exploded rows (measured 2x slower than not spreading at all).
+    # Callers with a compact single-file source should spread BEFORE the
+    # exploding projection (see q_heavy_hitters), where the exchange moves
+    # compact pre-explosion rows.
     items = df.select(F.col(item_col).alias("item"))
 
     def mg(batches):
@@ -850,10 +856,19 @@ def bm25_rank(
     scores) but never shuffled — at 100 TB the stats pass is the
     column-pruned (id, text) scan and the score pass streams.
     """
+    from sqllog_analysis_spark.operators.dedup import _spread_compact_input
+
+    # r6: the tf/dl extraction is CPU-bound per row; a compact single-file
+    # corpus otherwise pins BOTH scans of it to one scan partition (guide
+    # §2.5 input skew).  No-op for multi-file inputs at scale.
+    # (regexp_count and replace-based token counting were both measured
+    # SLOWER than the token-array higher-order filters — see
+    # OPTIMIZATION_r06.md; the parallelism, not the per-row idiom, was the
+    # bottleneck.)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t")).withColumn(
-        "dl", F.size("_t")
-    )
+    base = _spread_compact_input(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).withColumn("dl", F.size("_t"))
     for i, t in enumerate(query_terms):
         base = base.withColumn(
             f"tf{i}",

@@ -131,24 +131,36 @@ def route_records_clean(routed: DataFrame, degen: DataFrame) -> DataFrame:
 SINK_CONTRACT_ERROR = "写入约束错误"  # sink-contract violation (insert-failure analog)
 
 
-def sink_contract(routed: DataFrame) -> "F.Column":
+def sink_contract(routed: DataFrame, category_total: bool = False) -> "F.Column":
     """The records sink's write contract as one boolean column: a known
     category, a partitionable timestamp, and a conversation key (the sink
-    layout and sort order depend on exactly these)."""
+    layout and sort order depend on exactly these).
+
+    ``category_total=True`` (r6 optimization) asserts the caller's
+    ``category`` column is a CLOSED when-chain over ``CATEGORIES`` (true
+    for :func:`route_records` — pinned by
+    tests/test_pipeline.py::test_route_records_category_is_total), so the
+    set-membership term is statically TRUE and is dropped.  This matters
+    for the pipeline's error chain: the membership test references the
+    regexp-derived ``category`` expression, so pushing the violation
+    filter toward the scan would otherwise re-evaluate the whole
+    enrich/route expression chain for EVERY row of a second full pass;
+    the remaining (ts, conv_id) null checks push down to the parquet scan
+    as cheap native predicates instead."""
     from sqllog_analysis_spark.schema import CATEGORIES
 
-    ok = (
-        F.col("category").isin(list(CATEGORIES))
-        & F.col("ts").isNotNull()
-        & F.col("conv_id").isNotNull()
-    )
+    ok = F.col("ts").isNotNull() & F.col("conv_id").isNotNull()
+    if not category_total:
+        ok = F.col("category").isin(list(CATEGORIES)) & ok
     return F.coalesce(ok, F.lit(False))
 
 
-def split_sink_contract(routed: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_sink_contract(
+    routed: DataFrame, category_total: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(writable, violations) — violations carry the error-sink shape
     {path, line, error, raw} so they append to parse_errors directly."""
-    ok = sink_contract(routed)
+    ok = sink_contract(routed, category_total=category_total)
     good = routed.filter(ok)
     bad = routed.filter(~ok).select(
         F.coalesce(F.col("conv_id"), F.lit("<unknown>")).alias("path"),

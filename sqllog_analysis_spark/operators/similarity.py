@@ -38,6 +38,18 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# r6 optimization note: the norm of each vector is computed ONCE PER ROW
+# (before any self/probe join) instead of once per candidate pair inside
+# the join condition — see the `_norm(...)` projections below.  The values
+# are bit-identical (same expression, same fold), only the evaluation
+# count changes: O(rows) instead of O(candidate pairs), which for the
+# near-dup self-joins removes two thirds of the per-pair interpreted
+# higher-order-function work.  (An unrolled fixed-dim codegen dot was
+# measured SLOWER here: the 64-term generated method exceeds HotSpot's
+# JIT size threshold and runs in the bytecode interpreter — see
+# OPTIMIZATION_r06.md.)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -49,17 +61,25 @@ def brute_force_topk(
 
     Returns (probe_id, neighbor_id, cosine, rank); self-matches excluded;
     ties broken by neighbor id for determinism.
+
+    Norms are projected once per row BEFORE the join (r6) — bit-identical
+    values, O(rows) instead of O(pairs) norm evaluations.
     """
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pvec"),
+        _norm(F.col(vec_col)).alias("_pn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
+    cos = _dot(F.col("pvec"), F.col("cvec")) / (F.col("_pn") * F.col("_cn"))
     scored = (
         c.join(F.broadcast(p))
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("pvec"), F.col("cvec")), 6))
+        .withColumn("cosine", F.round(cos, 6))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -169,11 +189,13 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         bucket_ids(vec_col, planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("pvec"),
         bucket_ids(vec_col, planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("_pn"),
     )
     if multi_probe > 0:
         # all XOR masks of Hamming weight ≤ multi_probe: C(bits, ≤d) probe
@@ -191,7 +213,14 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(p), "bucket")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("pvec"), F.col("cvec")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("pvec"), F.col("cvec"))
+                / (F.col("_pn") * F.col("_cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -243,6 +272,9 @@ def lsh_near_dup_pairs(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
                 bucket_ids(vec_col, planes).alias("bucket"),
+                # norm once per ROW here, not once per candidate PAIR in
+                # the join condition (r6; float-identical fold)
+                _norm(F.col(vec_col)).alias("nv"),
             )
         )
     v = variants[0]
@@ -252,12 +284,25 @@ def lsh_near_dup_pairs(
     small = v.withColumn("_c", F.count("*").over(w)).filter(
         F.col("_c") <= max_bucket
     ).drop("_c")
-    a = small.select("ls", "bucket", F.col("id").alias("a"), F.col("v").alias("va"))
-    b = small.select("ls", "bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    a = small.select(
+        "ls", "bucket", F.col("id").alias("a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = small.select(
+        "ls", "bucket", F.col("id").alias("b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     return (
         a.join(b, ["ls", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
         .distinct()
@@ -371,14 +416,23 @@ def lsh_near_dup_pairs_incremental(
         .drop("_c")
     )
     lhs = capped.filter(F.col("_new")).select(
-        "ls", "bucket", F.col("vec_id").alias("x"), F.col("embedding").alias("vx"))
+        "ls", "bucket", F.col("vec_id").alias("x"), F.col("embedding").alias("vx"),
+        _norm(F.col("embedding")).alias("_nx"))
     rhs = capped.select(
         "ls", "bucket", F.col("vec_id").alias("y"), F.col("embedding").alias("vy"),
-        F.col("_new").alias("y_new"))
+        F.col("_new").alias("y_new"),
+        _norm(F.col("embedding")).alias("_ny"))
     return (
         lhs.join(rhs, ["ls", "bucket"])
         .filter(F.col("x") != F.col("y"))
-        .withColumn("cosine", F.round(cosine_col(F.col("vx"), F.col("vy")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vx"), F.col("vy"))
+                / (F.col("_nx") * F.col("_ny")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.least("x", "y").alias("a"),

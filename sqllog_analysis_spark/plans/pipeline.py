@@ -136,6 +136,7 @@ def downstream(
     errors = route_errors(parsed, degen)
     return {
         "parsed": parsed,
+        "degen": degen,
         "routed": routed,
         "errors": errors,
         "sink_counts": agg_sink_counts(routed),
@@ -283,8 +284,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     # sink-write isolation (R2): rows violating the records sink's write
     # contract are skipped-and-logged like the reference's failed insert
-    # batches (duckdb_impl.rs:475-488) instead of failing the stage
-    writable, contract_bad = split_sink_contract(g["routed"])
+    # batches (duckdb_impl.rs:475-488) instead of failing the stage.
+    # category_total: route_records' category is a closed when-chain, so
+    # the violation predicate reduces to (ts, conv_id) null checks that
+    # push down to the staged scan — the error chain no longer re-runs
+    # the enrich/route regex chain over the full staged data (r6).
+    writable, contract_bad = split_sink_contract(g["routed"], category_total=True)
     err_obs = Observation()
     errors_obs = g["errors"].unionByName(contract_bad).observe(
         err_obs, F.count(F.lit(1)).alias("n")
@@ -364,9 +369,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        for f in [ex.submit(chain_records), ex.submit(chain_errors)]:
-            f.result()  # propagate failures
+    # the degenerate-conversation frame is referenced by FOUR broadcast
+    # subtrees across the two concurrent chains; without materialization
+    # each broadcast re-runs the (conv_id, has_ts) aggregate over the
+    # staged scan.  It is tiny by construction (one row per conversation
+    # with no valid timestamp line), so persist + one eager fill makes
+    # every broadcast a cache read (r6; guide §2.4 — share one exchange).
+    g["degen"].persist()
+    try:
+        g["degen"].count()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for f in [ex.submit(chain_records), ex.submit(chain_errors)]:
+                f.result()  # propagate failures
+    finally:
+        g["degen"].unpersist()
 
     # summary inputs come from written files / footers, not extra jobs
     # (fs-abstracted: works for local dirs and remote URIs alike)

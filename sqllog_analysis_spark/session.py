@@ -49,6 +49,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # r6 (guide §3.1/§9): joins.  The 10 MB default broadcast threshold
+        # under-uses a 128 GiB-class node — a few-tens-of-MB dimension side
+        # (e.g. TPC-H orders projected to two longs) is far cheaper to
+        # broadcast than to shuffle the fact side.  Estimate-driven, so it
+        # stays scale-adaptive: at 100 TB the big tables' size estimates
+        # blow past any threshold and the planner falls back to shuffle
+        # joins.  Parameterised for clusters with smaller executors.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"),
+        )
+        # prefer shuffled-hash over sort-merge when the per-partition build
+        # side fits (guide §9) — skips both sort passes
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # parse UDF ships whole turns; bigger Arrow batches amortize the
         # Python worker round-trip without blowing memory at 100 TB scale

@@ -319,7 +319,9 @@ def _full_graph_batch_writer(out_dir: str, slow_ms: int):
         from sqllog_analysis_spark.sinks.writers import _ERROR_PATH_COLS
 
         g = downstream(bdf.sparkSession, parse_transcripts(bdf), slow_ms=slow_ms)
-        writable, contract_bad = split_sink_contract(g["routed"])
+        # category_total: route_records' when-chain is closed over
+        # CATEGORIES, so the violation predicate is just the null checks
+        writable, contract_bad = split_sink_contract(g["routed"], category_total=True)
         # persisted for the batch: the records write AND the two partial
         # sinks below share ONE execution of the Python parse instead of
         # re-running the graph per action

@@ -14,6 +14,7 @@ import datetime as dt
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from sqllog_analysis_spark import oracle
 from sqllog_analysis_spark.plans.pipeline import PipelineConfig, build, run_pipeline
@@ -452,6 +453,36 @@ def test_sink_contract_split_isolates_poison_rows(spark):
     assert set(bad_rows) == {"c1", "c2", "<unknown>"}
     assert all("写入约束错误" in r.error for r in bad_rows.values())
     assert bad.columns == ["path", "line", "error", "raw"]
+
+
+def test_route_records_category_is_total(spark):
+    """Pin for the r6 category_total contract-check optimization: the
+    category produced by route_records is a CLOSED when-chain — every
+    branch outcome is a CATEGORIES literal, so the sink contract's
+    set-membership term is statically true and run_pipeline may pass
+    ``category_total=True`` to split_sink_contract."""
+    from sqllog_analysis_spark.operators.routing import route_records
+    from sqllog_analysis_spark.schema import CATEGORIES
+
+    rows = [
+        # exercise every branch: ERR code, slow, tool call, plain chat,
+        # NULL execute_time, NULL description
+        ("c", 0, "2025-09-16 01:00:00.000", "x ERR[-7001] y", 5, dt.datetime(2025, 9, 16)),
+        ("c", 1, "2025-09-16 01:00:01.000", "slow", 99999, dt.datetime(2025, 9, 16)),
+        ("c", 2, "2025-09-16 01:00:02.000", "TOOL_CALL: f(1)", 5, dt.datetime(2025, 9, 16)),
+        ("c", 3, "2025-09-16 01:00:03.000", "plain", 5, dt.datetime(2025, 9, 16)),
+        ("c", 4, "2025-09-16 01:00:04.000", None, None, dt.datetime(2025, 9, 16)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, occurrence_time string, "
+        "description string, execute_time long, ts timestamp",
+    ).withColumn("error", F.lit(None).cast("string"))
+    routed = route_records(df, slow_ms=1000)
+    cats = {r.category for r in routed.select("category").distinct().collect()}
+    assert cats <= set(CATEGORIES)
+    # and the chain has no NULL escape: every row got a category
+    assert routed.filter(F.col("category").isNull()).count() == 0
 
 
 def test_run_pipeline_poison_partition_commits_rest(spark, tmp_path, monkeypatch):
