@@ -52,21 +52,49 @@ def decontaminate(
     ~90-byte 13-gram strings (exactness up to md5 collisions, the same
     guarantee every fingerprint in this engine rides on).
     """
-    md5_grams = F.transform(
-        _shingles(text_col, shingle_k), lambda g: F.md5(g)
-    )
-    ev = eval_df.select(F.explode(md5_grams).alias("g")).distinct()
+    # r6: gram construction + md5 moved to an Arrow-batched Python pass —
+    # the JVM shingle build (transform/slice/concat_ws per gram position)
+    # was the measured hot spot, and C-level str.join + hashlib beat the
+    # interpreted higher-order functions ~4x (guide §4.2).  BOTH sides use
+    # the identical tokenizer+hash (_gram_md5_rows), so match semantics
+    # are unchanged: a gram matches iff the same 13-token string occurs on
+    # both sides, exactly as before.
+    ev = _gram_md5_rows(eval_df, id_col, text_col, shingle_k).select("g").distinct()
     # shingle hashing is CPU-bound: make sure a compact (single-file)
     # input doesn't pin the whole stage to one core
-    tr = _spread_compact_input(train).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(md5_grams)).alias("g"),
-    )
+    tr = _gram_md5_rows(_spread_compact_input(train), id_col, text_col, shingle_k)
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def _gram_md5_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, g) rows — the per-document DISTINCT md5 hex fingerprints of the
+    k-token shingles, produced in one Arrow-batched pass (tokenization is
+    the exact Spark-expression mirror, dedup._py_shingles)."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import hashlib
+
+        from sqllog_analysis_spark.operators.dedup import _py_shingles
+
+        for pdf in batches:
+            ids: list = []
+            gs: list = []
+            for i, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                for g in set(_py_shingles(text, k)):
+                    ids.append(i)
+                    gs.append(hashlib.md5(g.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({id_col: ids, "g": gs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} {id_type}, g string")
 
 
 # ---------------------------------------------------------------------------

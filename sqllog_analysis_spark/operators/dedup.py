@@ -111,6 +111,30 @@ def _shingles(text_col: str, k: int) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+# Java \s is the ASCII class [ \t\n\x0B\f\r]; Python's \s is Unicode-wide,
+# so the Python mirror of the tokenizer must spell the class out.
+_JAVA_WS_RE = None
+
+
+def _py_shingles(text, k: int) -> list[str]:
+    """Pure-Python mirror of :func:`_shingles` for the Arrow-vectorized
+    md5 flavor — MUST tokenize exactly like the Spark expression:
+    trim = strip 0x20 only, lower, split on the Java ASCII ``\\s+`` class
+    keeping leading/trailing empty tokens (Pattern.split limit -1 ==
+    re.split), under-k-token docs collapse to one whole-text gram.
+    Parity is pinned by tests/test_training_ops.py::
+    test_py_shingles_matches_spark_expression."""
+    global _JAVA_WS_RE
+    if _JAVA_WS_RE is None:
+        import re
+
+        _JAVA_WS_RE = re.compile("[ \t\n\x0b\x0c\r]+")
+    toks = _JAVA_WS_RE.split((text or "").strip(" ").lower())
+    if len(toks) >= k:
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return [" ".join(toks)]
+
+
 # modulus for the md5-flavor affine hash family (Mersenne prime 2^31-1):
 # products a*x stay < 2^59, safely inside BIGINT in every engine
 MINHASH_P = (1 << 31) - 1
@@ -164,6 +188,59 @@ def _minhash_hasher(hash_fn: str):
     raise ValueError(f"unsupported minhash hash_fn: {hash_fn}")
 
 
+def _minhash_md5_signatures_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Arrow-vectorized md5-flavor minhash signatures (r6).
+
+    Integer-exact mirror of the JVM expression chain (one md5 per shingle
+    → 60-bit int mod P → per-seed affine (aᵢ·x+bᵢ) mod P → min): Python's
+    ``int(md5hex[:15], 16) % P`` equals ``pmod(conv(substring(md5(s),1,
+    15),16,10), P)`` and all affine products stay < 2^59, so signatures
+    are bit-identical — the DuckDB oracle replay is unchanged.  Per Arrow
+    batch the shingle set is deduped before hashing (min over a multiset
+    == min over its set) and the n_hashes mins are one numpy broadcast —
+    replacing n_hashes interpreted array traversals per row (guide §4.2).
+    """
+    import numpy as np
+    import pandas as pd
+
+    consts = minhash_affine_consts(n_hashes)
+    a_vec = np.array([c[0] for c in consts], dtype=np.int64)
+    b_vec = np.array([c[1] for c in consts], dtype=np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = ", ".join([f"{id_col} {id_type}"] + [f"h{i} long" for i in range(n_hashes)])
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            sigs = np.empty((len(pdf), n_hashes), dtype=np.int64)
+            texts = pdf[text_col].tolist()
+            for r, text in enumerate(texts):
+                grams = set(_py_shingles(text, shingle_k))
+                xs = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        % MINHASH_P
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                sigs[r] = ((xs[:, None] * a_vec + b_vec) % MINHASH_P).min(axis=0)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for i in range(n_hashes):
+                out[f"h{i}"] = sigs[:, i]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -172,12 +249,22 @@ def minhash_signatures(
     shingle_k: int = 5,
     hash_fn: str = "murmur3",
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — minhash over shingles, n_hashes seeded hashes
-    computed JVM-side.
+    """(id, h0..h{n-1}) — minhash over shingles.
 
-    Fully NARROW: per row, ``array_min(transform(shingles, s → h(s, i)))``
-    — no explode, no shuffle, scales linearly with partitions (the naive
-    explode + 64-column groupBy shuffles |docs|×|shingles| rows)."""
+    murmur3 (the 100 TB scale flavor): fully NARROW JVM expressions — per
+    row, ``array_min(transform(shingles, s → h(s, i)))`` — no explode, no
+    shuffle, scales linearly with partitions (the naive explode +
+    64-column groupBy shuffles |docs|×|shingles| rows).
+
+    md5 (the oracle flavor): same algebra, Arrow-vectorized (r6) — the
+    shingle+md5+affine-min pipeline runs per batch in numpy/hashlib
+    instead of n_hashes interpreted array traversals per row; still
+    narrow, bit-identical signatures (see _minhash_md5_signatures_arrow).
+    """
+    if hash_fn == "md5":
+        return _minhash_md5_signatures_arrow(
+            _spread_compact_input(df), id_col, text_col, n_hashes, shingle_k
+        )
     base, per_seed = _minhash_hasher(hash_fn)
     pre = _spread_compact_input(df).select(
         F.col(id_col), _shingles(text_col, shingle_k).alias("_shingles")

@@ -337,9 +337,18 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             # by sink-write isolation must not reappear in the aggregates
             else writable
         )
+        # r6: conv_buckets is written from ONE records-sink scan, and
+        # sink_counts is then derived from the written conv_buckets table
+        # (sum of per-(conv, bucket) counts per category == count(*) per
+        # category) — a KB-scale read instead of a second sink scan
+        cb = agg_conv_buckets(routed_src, bucket=cfg.bucket)
+        cb.write.mode("overwrite").parquet(
+            os.path.join(cfg.output_dir, "conv_buckets")
+        )
+        sc_src = spark.read.parquet(os.path.join(cfg.output_dir, "conv_buckets"))
         write_aggregates(
-            agg_sink_counts(routed_src),
-            agg_conv_buckets(routed_src, bucket=cfg.bucket),
+            sc_src.groupBy("category").agg(F.sum("n").alias("n")),
+            None,
             cfg.output_dir,
         )
         lineage = parquet_lineage(os.path.join(cfg.output_dir, "sink_counts"))

@@ -65,8 +65,10 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # parse UDF ships whole turns; bigger Arrow batches amortize the
-        # Python worker round-trip without blowing memory at 100 TB scale
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python worker round-trip and the per-batch pandas fixed costs
+        # without blowing memory (turns are ~300 B → ~6 MB/batch; r6
+        # measured the parse hot path ~11% faster at 20k than 10k rows)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -23,12 +23,19 @@ scheme-qualified paths, pyarrow the fs-native ones).
 
 Crash safety: a partition swap is two renames through underscore-
 prefixed staging names (``_compact_*`` for the new layout, ``_old_*``
-for the displaced one) — Spark ignores ``_*`` paths, so readers see
-either the old or the new layout, never a mix.  A crash between the two
-renames leaves the partition parked under ``_old_*``; :func:`compact_sink`
-REPAIRS such states up front (restore ``_old_*`` when the live dir is
-missing, drop it when the swap had completed, clear stale ``_compact_*``)
-so maintenance is safe to re-run after any interruption.
+for the displaced one) — Spark ignores ``_*`` paths.  The swap protocol
+requires ATOMIC DIRECTORY RENAME, so :func:`compact_sink` refuses to run
+on filesystems without it (object stores emulate a directory move as
+per-object copy+delete; a crash mid-move would interleave two layouts):
+local and HDFS are allowed, s3://-style URIs are rejected up front
+(r6 hardening, ADVICE r5).  Even on an atomic-rename filesystem there is
+a window between the two renames where the live directory does not exist
+— run maintenance without concurrent readers of the partition being
+rewritten.  A crash between the renames leaves the partition parked
+under ``_old_*``; :func:`compact_sink` REPAIRS such states up front
+(restore ``_old_*`` when the live dir is missing, drop it only after the
+live dir's parquet footers account for the same rows, clear stale
+``_compact_*``) so maintenance is safe to re-run after any interruption.
 """
 
 from __future__ import annotations
@@ -83,9 +90,29 @@ def _parquet_infos(fs, part_dir: str) -> list:
     )
 
 
+def _dir_rows(fs, part_dir: str) -> int:
+    """Sum of parquet footer row counts under ``part_dir`` — metadata-only
+    (footer reads), used by the conservative repair below."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for path, _ in _parquet_infos(fs, part_dir):
+        total += pq.ParquetFile(fs.open_input_file(path)).metadata.num_rows
+    return total
+
+
 def _repair_interrupted_swaps(fs, root: str) -> None:
     """Finish/undo any swap a previous crash left half-done (see module
-    docstring).  Metadata-only; idempotent."""
+    docstring).  Metadata + footer reads only; idempotent.
+
+    Conservative (r6, ADVICE r5): ``_old_*`` is deleted ONLY when the
+    live directory's parquet footers account for the same number of rows
+    — the swap-completed proof.  On a row-count mismatch the original
+    rows are restored by merging ``_old_*`` back into the live directory
+    (same-name files are skipped: a partial directory move copies files
+    under unchanged names, so the merge reassembles the original set
+    without duplication — Spark part-file names embed a per-write UUID,
+    so files from different writes can never collide by name)."""
     from pyarrow import fs as pafs
 
     sel = pafs.FileSelector(root, recursive=False, allow_not_found=True)
@@ -102,8 +129,18 @@ def _repair_interrupted_swaps(fs, root: str) -> None:
                     # crashed between the two renames: old layout is the
                     # only complete one — restore it
                     fs.move(child.path, live)
+                elif _dir_rows(fs, live) == _dir_rows(fs, child.path):
+                    # swap provably completed, cleanup didn't — finish it
+                    fs.delete_dir(child.path)
                 else:
-                    # swap completed, cleanup didn't — finish it
+                    # rows differ: never drop _old_ — merge it back so no
+                    # original row is lost, then clear the parked dir
+                    live_names = {
+                        posixpath.basename(p) for p, _ in _parquet_infos(fs, live)
+                    }
+                    for p, _ in _parquet_infos(fs, child.path):
+                        if posixpath.basename(p) not in live_names:
+                            fs.move(p, posixpath.join(live, posixpath.basename(p)))
                     fs.delete_dir(child.path)
             elif base.startswith(_TMP):
                 fs.delete_dir(child.path)  # stale staging, always safe
@@ -139,6 +176,17 @@ def compact_sink(
     """
     records_root = posixpath.join(out_dir.rstrip("/"), "records")
     fs, root = _resolve(records_root)
+    # the swap protocol needs atomic directory rename (module docstring);
+    # object stores fake a directory move as per-object copy+delete, so a
+    # crash mid-move would interleave two layouts — refuse up front
+    fs_kind = getattr(fs, "type_name", "unknown")
+    if fs_kind not in ("local", "hdfs"):
+        raise ValueError(
+            f"compact_sink requires atomic directory rename; filesystem "
+            f"{fs_kind!r} does not provide it — compact on a rename-atomic "
+            f"store (local/HDFS) or use a table format with snapshot "
+            f"commits (Iceberg rewrite_data_files) instead"
+        )
     scheme = _scheme_prefix(records_root)
     _repair_interrupted_swaps(fs, root)
     jobs = []

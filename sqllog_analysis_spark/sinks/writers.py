@@ -117,19 +117,26 @@ def write_error_sink(errors: DataFrame, out_dir: str) -> None:
     errors.write.mode("overwrite").json(os.path.join(out_dir, "parse_errors"))
 
 
-def write_aggregates(sink_counts: DataFrame, conv_buckets: DataFrame, out_dir: str) -> None:
-    """Two independent aggregate jobs over the records sink — submitted
-    concurrently from driver threads so their scans overlap."""
+def write_aggregates(
+    sink_counts: DataFrame, conv_buckets: DataFrame | None, out_dir: str
+) -> None:
+    """Aggregate writes.  ``conv_buckets=None`` (r6 pipeline path) means
+    the caller already wrote conv_buckets and sink_counts is derived from
+    it — one job, KB-scale input.  With both frames given, the two jobs
+    run concurrently from driver threads so their sink scans overlap."""
     from concurrent.futures import ThreadPoolExecutor
 
-    jobs = (
+    jobs = [
         lambda: sink_counts.write.mode("overwrite").parquet(
             os.path.join(out_dir, "sink_counts")
         ),
-        lambda: conv_buckets.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "conv_buckets")
-        ),
-    )
+    ]
+    if conv_buckets is not None:
+        jobs.append(
+            lambda: conv_buckets.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "conv_buckets")
+            )
+        )
     with ThreadPoolExecutor(max_workers=2) as ex:
         for f in [ex.submit(j) for j in jobs]:
             f.result()

@@ -13,6 +13,8 @@ import glob
 import os
 import shutil
 
+import pytest
+
 from sqllog_analysis_spark.plans.pipeline import PipelineConfig, run_pipeline
 from sqllog_analysis_spark.sinks.maintenance import compact_sink, expire_partitions
 from sqllog_analysis_spark.sinks.writers import read_sink
@@ -111,6 +113,65 @@ def test_compact_repairs_interrupted_swap(spark, tmp_path):
     assert _rowset(spark, out) == before_rows  # parked partition restored
     assert not glob.glob(os.path.join(out, "records", "**", "_old_*"), recursive=True)
     assert not glob.glob(os.path.join(out, "records", "**", "_compact_*"), recursive=True)
+
+
+def test_compact_repair_is_conservative_on_partial_move(spark, tmp_path):
+    """r6 (ADVICE r5): a crash mid-directory-move (the copy+delete
+    emulation of rename) leaves the partition's files SPLIT between the
+    live dir and _old_.  Repair must never read that as 'swap completed'
+    and drop _old_ — it merges the parked files back and loses no row."""
+    out = _pipeline(spark, tmp_path, n=800, seed=11)
+    before_rows = _rowset(spark, out)
+    cat_dirs = sorted(glob.glob(os.path.join(out, "records", "category=*")))
+    live = sorted(glob.glob(os.path.join(cat_dirs[0], "dt=*")))[0]
+    old = os.path.join(cat_dirs[0], "_old_" + os.path.basename(live))
+    os.makedirs(old)
+    files = sorted(glob.glob(os.path.join(live, "*.parquet")))
+    assert files
+    # half moved, half still live — plus one file present on BOTH sides
+    # under the same name (its copy completed, its delete didn't): the
+    # worst interleaving of a per-object copy+delete "rename"
+    moved = files[: max(1, len(files) // 2)]
+    for f in moved:
+        os.rename(f, os.path.join(old, os.path.basename(f)))
+    still_live = sorted(glob.glob(os.path.join(live, "*.parquet")))
+    if still_live:
+        shutil.copy2(still_live[0], os.path.join(old, os.path.basename(still_live[0])))
+
+    compact_sink(spark, out)
+
+    assert _rowset(spark, out) == before_rows  # nothing lost, nothing doubled
+    assert not glob.glob(os.path.join(out, "records", "**", "_old_*"), recursive=True)
+
+
+def test_compact_refuses_non_atomic_rename_fs(spark, tmp_path, monkeypatch):
+    """The swap protocol is guarded to rename-atomic filesystems — an
+    object-store fs kind is rejected up front (r6, ADVICE r5)."""
+    import pyarrow.fs as pafs
+
+    from sqllog_analysis_spark.sinks import maintenance as M
+
+    out = _pipeline(spark, tmp_path, n=400, seed=11)
+
+    class FakeS3(pafs.PyFileSystem):
+        pass
+
+    real_resolve = M._resolve
+
+    def fake_resolve(path):
+        fs, root = real_resolve(path)
+
+        class Wrapper:
+            type_name = "s3"
+
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+        return Wrapper(), root
+
+    monkeypatch.setattr(M, "_resolve", fake_resolve)
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        compact_sink(spark, out)
 
 
 def test_compact_preserves_index_sort(spark, tmp_path):

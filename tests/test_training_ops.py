@@ -1075,3 +1075,58 @@ def test_asof_join_bucketed_carry_in_across_empty_buckets(spark):
            for r in asof_join_bucketed(left, right, on="user_id",
                                        bucket_seconds=600).collect()}
     assert out == {1: 42, 2: 42}  # exact-tie AND 350-buckets-later carry
+
+
+def test_py_shingles_matches_spark_expression(spark):
+    """Parity pin for the r6 Arrow-vectorized md5 flavor: the Python
+    tokenizer/shingler (dedup._py_shingles) must reproduce the Spark
+    expression (dedup._shingles) byte-for-byte on every whitespace and
+    edge shape — trim-of-0x20-only, Java ASCII \\s split with kept
+    leading/trailing empties, under-k collapse, NULL text."""
+    cases = [
+        "plain three token text here",
+        "  leading and trailing  ",
+        "tab\tsep\ttokens",
+        "newline\nsep\ntokens",
+        "cr\rsep\rtokens",
+        "mixed \t\r\n   runs",
+        "\tstarts with tab",
+        "ends with tab\t",
+        " nbsp is not java ws ",  # NBSP must stay inside tokens
+        "UPPER Case MiXeD",
+        "one two",  # under k=3
+        "single",
+        " ",
+        "",
+        None,
+        "punct, tokens; here! (kept)",
+        "\x0b vertical \x0c formfeed \x0b",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, text string")
+    for k in (3, 13):
+        sp = {
+            r["i"]: r["s"]
+            for r in df.select("i", DD._shingles("text", k).alias("s")).collect()
+        }
+        for i, c in enumerate(cases):
+            assert sp[i] == DD._py_shingles(c, k), (k, c)
+
+
+def test_minhash_md5_arrow_matches_jvm_expression(docs):
+    """The Arrow md5 signature path must be bit-identical to the original
+    JVM expression chain (which the DuckDB oracle replays)."""
+    from pyspark.sql import functions as F
+
+    jvm_base, per_seed = DD._minhash_hasher("md5")
+    pre = docs.select(
+        F.col("doc_id"), F.transform(DD._shingles("text", 3), jvm_base).alias("_s")
+    )
+    sigs = [
+        F.array_min(F.transform(F.col("_s"), per_seed(i))).alias(f"h{i}")
+        for i in range(8)
+    ]
+    jvm = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+           for r in pre.select("doc_id", *sigs).collect()}
+    arrow = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+             for r in DD.minhash_signatures(docs, n_hashes=8, shingle_k=3, hash_fn="md5").collect()}
+    assert jvm == arrow
