@@ -260,9 +260,26 @@ def lsh_near_dup_pairs(
     the bucket key is (plane-set, bucket), so candidates stay within one
     plane set's bucket; final ``distinct`` merges pairs found by several
     sets).  ``seeds=1`` is bit-identical to the pre-``seeds`` behavior.
+
+    r6: the per-bucket pair stage runs as ONE Arrow-batched numpy pass
+    per (plane-set, bucket) group instead of a bucket self-join whose
+    condition evaluates an interpreted higher-order dot per candidate
+    pair.  Bit-exactness is preserved by construction: the dot and norm
+    folds run as 'acc = acc + x_j·y_j' across j in ascending order —
+    element-wise over the whole pair vector, so each pair's additions
+    happen in EXACTLY the zip_with/aggregate order (numpy's pairwise
+    np.sum is deliberately NOT used) — and rounding/threshold/distinct
+    stay JVM-side on the raw double (the Python side pre-filters with a
+    1e-6 margin below the threshold, which rounding to 6 dp can never
+    cross).  Memory per task is bounded by the bucket cap (~8 scratch
+    vectors of max_bucket²/2 doubles).  Same one-shuffle scale shape;
+    pinned equal to the join formulation by
+    tests/test_training_ops.py::test_lsh_near_dup_numpy_matches_join.
     """
     if seeds < 1:
         raise ValueError(f"seeds must be >= 1, got {seeds}")
+    import numpy as np
+
     variants = []
     for s in range(seeds):
         planes = hyperplanes(dim, bits, seed + s)
@@ -272,37 +289,47 @@ def lsh_near_dup_pairs(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
                 bucket_ids(vec_col, planes).alias("bucket"),
-                # norm once per ROW here, not once per candidate PAIR in
-                # the join condition (r6; float-identical fold)
-                _norm(F.col(vec_col)).alias("nv"),
             )
         )
     v = variants[0]
     for extra in variants[1:]:
         v = v.unionByName(extra)
-    w = Window.partitionBy("ls", "bucket")
-    small = v.withColumn("_c", F.count("*").over(w)).filter(
-        F.col("_c") <= max_bucket
-    ).drop("_c")
-    a = small.select(
-        "ls", "bucket", F.col("id").alias("a"), F.col("v").alias("va"),
-        F.col("nv").alias("na"),
-    )
-    b = small.select(
-        "ls", "bucket", F.col("id").alias("b"), F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    margin = threshold - 1e-6
+
+    def bucket_pairs(key, pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        n = len(pdf)
+        if n < 2 or n > max_bucket:
+            return pd.DataFrame(
+                {"a": ids[:0], "b": ids[:0], "cosine_raw": np.zeros(0)}
+            )
+        mat = np.stack(pdf["v"].to_numpy())  # (n, dim)
+        acc = np.zeros(n)
+        for j in range(mat.shape[1]):  # exact sequential fold per row
+            acc = acc + mat[:, j] * mat[:, j]
+        nv = np.sqrt(acc)
+        ia, ib = np.triu_indices(n, 1)
+        swap = ids[ia] > ids[ib]
+        ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
+        va, vb = mat[ia], mat[ib]
+        dot = np.zeros(len(ia))
+        for j in range(mat.shape[1]):  # exact sequential fold per pair
+            dot = dot + va[:, j] * vb[:, j]
+        cos = dot / (nv[ia] * nv[ib])
+        keep = cos >= margin
+        return pd.DataFrame(
+            {"a": ids[ia][keep], "b": ids[ib][keep], "cosine_raw": cos[keep]}
+        )
+
+    out = v.groupBy("ls", "bucket").applyInPandas(
+        bucket_pairs, f"a {id_type}, b {id_type}, cosine_raw double"
     )
     return (
-        a.join(b, ["ls", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ),
-        )
+        out.withColumn("cosine", F.round("cosine_raw", 6))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
         .distinct()

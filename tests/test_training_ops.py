@@ -1130,3 +1130,48 @@ def test_minhash_md5_arrow_matches_jvm_expression(docs):
     arrow = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
              for r in DD.minhash_signatures(docs, n_hashes=8, shingle_k=3, hash_fn="md5").collect()}
     assert jvm == arrow
+
+
+def test_lsh_near_dup_numpy_matches_join(spark):
+    """r6 pin: the Arrow-batched per-bucket pair stage must reproduce the
+    bucket-self-join formulation exactly — same candidate buckets, same
+    bucket cap, bit-identical cosines (the numpy folds run in zip_with
+    order; rounding and thresholding stay JVM-side)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # reference: the pre-r6 join formulation (norms per pair, as shipped r5)
+    planes = SIM.hyperplanes(64, 6, 42)
+    v = emb.select(
+        F.lit(0).alias("ls"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        SIM.bucket_ids("embedding", planes).alias("bucket"),
+    )
+    w = Window.partitionBy("ls", "bucket")
+    small = v.withColumn("_c", F.count("*").over(w)).filter(F.col("_c") <= 50).drop("_c")
+    a = small.select("ls", "bucket", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = small.select("ls", "bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    ref = (
+        a.join(b, ["ls", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine", F.round(SIM.cosine_col(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .select("a", "b", "cosine")
+        .distinct()
+    )
+    got = SIM.lsh_near_dup_pairs(
+        emb, dim=64, threshold=0.2, bits=6, seed=42, max_bucket=50
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # multi-seed recall property still holds on the new path
+    one = SIM.lsh_near_dup_pairs(emb, dim=64, threshold=0.2, bits=6, seed=42,
+                                 max_bucket=50, seeds=1).count()
+    two = SIM.lsh_near_dup_pairs(emb, dim=64, threshold=0.2, bits=6, seed=42,
+                                 max_bucket=50, seeds=2).count()
+    assert two >= one
