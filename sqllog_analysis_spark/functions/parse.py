@@ -40,6 +40,15 @@ _TS_LINE_SHAPE = (
     r"(?m)^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}"
 )
 
+# compiled forms for the direct classifier loop (r6)
+import re as _re  # noqa: E402
+
+_TS_LINE_RE = _re.compile(_TS_LINE_SHAPE)
+_TS_PREFIX_RE = _re.compile(
+    r"[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}"
+)
+_NORM_RE = _re.compile(r"(?m)^[ \t�]+|\r+(?=\n|$)")
+
 _PARSED_COLS = [f.name for f in PARSED_SCHEMA.fields]
 
 # canonical pandas dtypes for every parse-DERIVED column (input columns —
@@ -138,8 +147,11 @@ def _normalize(text: pd.Series) -> pd.Series:
     place a \\r before \\n/end that wasn't already, and removing \\r
     before \\n cannot create a line start followed by [ \\t\\ufffd] that
     the first branch hasn't already consumed at that scan position.
-    Pinned by the parser fuzz parity test (tests/test_parser_fuzz.py)."""
-    return text.str.replace(r"(?m)^[ \t�]+|\r+(?=\n|$)", "", regex=True)
+    Pinned by the parser fuzz parity test (tests/test_parser_fuzz.py).
+
+    (Kept as the Series-level form; the parse_batch hot loop applies the
+    same compiled ``_NORM_RE`` per value.)"""
+    return text.str.replace(_NORM_RE, "", regex=True)
 
 
 def _fast_parse(pdf: pd.DataFrame, norm: pd.Series) -> pd.DataFrame:
@@ -148,12 +160,30 @@ def _fast_parse(pdf: pd.DataFrame, norm: pd.Series) -> pd.DataFrame:
     ``norm`` is the normalized text; every row is guaranteed (by the
     classifier) to be exactly one segment whose first line is a valid
     timestamp line.  Flush line number = lines-in-segment + 1
-    (parser.rs:359-367 quirk)."""
+    (parser.rs:359-367 quirk).
+
+    r6: the header/metrics extraction runs as direct compiled-regex loops
+    over the values instead of pandas ``.str`` accessors — the same
+    ``re.search`` calls without the per-call Series machinery (measured
+    ~35% off the fast path; semantics pinned by the grammar-class and
+    hypothesis parity tests)."""
     out = pdf[["conv_id", "turn_idx", "role", "tool", "ts"]].copy()
     out["rec_idx"] = np.int32(0)
-    nlines = norm.str.count("\n").astype("int64") + 1
+    vals = norm.to_numpy(dtype=object, copy=False)
+    nlines = pd.Series(
+        np.fromiter((s.count("\n") for s in vals), dtype="int64", count=len(vals)),
+        index=norm.index,
+    ) + 1
 
-    g = norm.str.extract(oracle.HEADER_RE)  # 11 groups, re.search semantics
+    # 11 header groups, re.search semantics (exactly what .str.extract did)
+    _none11 = (None,) * 11
+    groups = [
+        m.groups() if (m := oracle.HEADER_RE.search(s)) else _none11 for s in vals
+    ]
+    cols = list(zip(*groups)) if groups else [()] * 11
+    g = {
+        i: pd.Series(cols[i], index=norm.index, dtype="object") for i in range(11)
+    }
     matched = g[0].notna()
 
     ep = _lenient_i64(g[1], oracle.I32_MAX)
@@ -163,16 +193,27 @@ def _fast_parse(pdf: pd.DataFrame, norm: pd.Series) -> pd.DataFrame:
         return col.mask(col == "NULL")
 
     desc = g[10]
-    # Rust lines().last(): drop one trailing \n, take after last \n, drop one
-    # \r.  \Z, not $: python's $ also matches BEFORE a final newline, so
-    # `\n$` would strip two newlines off a "...\n\n" tail (hypothesis find)
-    last = (
-        desc.str.replace(r"\n\Z", "", regex=True)
-        .str.rsplit("\n", n=1)
-        .str[-1]
-        .str.replace(r"\r$", "", regex=True)
-    )
-    m = last.str.extract(oracle.METRICS_RE)
+
+    # Rust lines().last(): drop ONE trailing \n (\n\Z semantics — NOT $,
+    # which would eat two off a "...\n\n" tail), take after the last \n,
+    # drop one trailing \r; then the metrics regex on that last line
+    def _metrics(d):
+        if d is None:
+            return _none3
+        if d.endswith("\n"):
+            d = d[:-1]
+        d = d.rsplit("\n", 1)[-1]
+        if d.endswith("\r"):
+            d = d[:-1]
+        m = oracle.METRICS_RE.search(d)
+        return m.groups() if m else _none3
+
+    _none3 = (None, None, None)
+    mcols = list(zip(*[_metrics(d) for d in desc.to_numpy(dtype=object)]))
+    m = {
+        i: pd.Series(mcols[i] if mcols else (), index=norm.index, dtype="object")
+        for i in range(3)
+    }
 
     out["occurrence_time"] = g[0].where(ok)
     out["ep"] = ep.where(ok)
@@ -253,32 +294,44 @@ def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.D
     out_cols = _PARSED_COLS + (passthrough or [])
     if len(pdf) == 0:
         return pd.DataFrame(columns=out_cols)
-    text = pdf["text"].fillna("")
-    # '\n' is a line terminator (io.rs read_until): drop EXACTLY ONE trailing
-    # newline so newline-terminated text has no phantom empty last line.
-    # \Z, not $: python's $ also matches before a final newline, so `\n$`
-    # strips two newlines off a "...\n\n" tail — which would silently drop
-    # a real empty line and shift the reference's flush line number
-    # (hypothesis-found parity bug).  This must happen BEFORE normalization
-    # — a final whitespace-only line normalizes to "" but still counts as a
-    # line (it is not a terminator).
-    text = text.str.replace(r"\n\Z", "", regex=True)
-    norm = _normalize(text)
-
-    # classify: fast path iff no U+FFFD, exactly one shape-match at a line
-    # start, it is on the first line, and its first 23 chars are
-    # calendar-valid (pd.to_datetime enforces leap years, hour<=23, ...)
-    no_ffff = ~text.str.contains("�", regex=False)
-    n_shape = norm.str.count(_TS_LINE_SHAPE)
-    first23 = norm.str.slice(0, 23)
-    starts_shape = first23.str.fullmatch(
-        r"[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}"
-    )
-    cal_ok = (
-        pd.to_datetime(first23.where(starts_shape), format="%Y-%m-%d %H:%M:%S.%f", errors="coerce").notna()
-        & ~first23.str.startswith("0000", na=False)
-    )
-    fast = no_ffff & (n_shape == 1) & starts_shape.fillna(False) & cal_ok
+    # One direct pass over the values (r6) replaces a chain of pandas
+    # .str calls — identical semantics, pinned by the hypothesis parity
+    # fuzz (tests/test_parser_fuzz.py) and the grammar-class tests:
+    #  - drop EXACTLY ONE trailing newline ('\n' is a line terminator,
+    #    io.rs read_until; a "...\n\n" tail keeps its real empty line —
+    #    \n\Z semantics, NOT $ — and this happens BEFORE normalization)
+    #  - normalize (strip leading [ \t�] per line, trailing CRs)
+    #  - classify: fast path iff no U+FFFD, exactly one shape-match at a
+    #    line start, it is on the first line (checked via the 23-char
+    #    prefix), and the prefix is calendar-valid (to_datetime below
+    #    enforces leap years, hour<=23, ...)
+    _sub = _NORM_RE.sub
+    _shape_match = _TS_PREFIX_RE.fullmatch
+    _count_shape = _TS_LINE_RE.findall
+    t_list, norm_list, fast0, first23 = [], [], [], []
+    for raw in pdf["text"].to_numpy(dtype=object, copy=False):
+        s = raw if isinstance(raw, str) else ""
+        if s.endswith("\n"):
+            s = s[:-1]
+        n = _sub("", s)
+        t_list.append(s)
+        norm_list.append(n)
+        p23 = n[:23]
+        first23.append(p23)
+        fast0.append(
+            "�" not in s
+            and bool(_shape_match(p23))
+            and not p23.startswith("0000")
+            and len(_count_shape(n)) == 1
+        )
+    text = pd.Series(t_list, index=pdf.index, dtype="object")
+    norm = pd.Series(norm_list, index=pdf.index, dtype="object")
+    first23 = pd.Series(first23, index=pdf.index, dtype="object")
+    fast0 = pd.Series(fast0, index=pdf.index)
+    cal_ok = pd.to_datetime(
+        first23.where(fast0), format="%Y-%m-%d %H:%M:%S.%f", errors="coerce"
+    ).notna()
+    fast = fast0 & cal_ok
 
     parts: list[pd.DataFrame] = []
     if fast.any():
