@@ -41,8 +41,10 @@ def punct_ratio(col: str = "text") -> Column:
 
 
 def vowel_ratio(col: str = "text") -> Column:
+    # r6: translate() is a plain char map — same count as deleting the
+    # [aeiou] class with regexp_replace, without the regex engine
     total = F.length(F.col(col))
-    vowels = total - F.length(F.regexp_replace(F.lower(F.col(col)), r"[aeiou]", ""))
+    vowels = total - F.length(F.translate(F.lower(F.col(col)), "aeiou", ""))
     return F.when(total > 0, vowels.cast("double") / total).otherwise(F.lit(0.0))
 
 

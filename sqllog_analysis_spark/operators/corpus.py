@@ -73,9 +73,11 @@ def decontaminate(
 def _gram_md5_rows(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """(id, g) rows — the per-document DISTINCT md5 hex fingerprints of the
-    k-token shingles, produced in one Arrow-batched pass (tokenization is
-    the exact Spark-expression mirror, dedup._py_shingles)."""
+    """(id, g) rows — the per-document DISTINCT md5 fingerprints (16 raw
+    digest bytes; same 128-bit identity as the hex form at half the
+    shuffle/broadcast bytes) of the k-token shingles, produced in one
+    Arrow-batched pass (tokenization is the exact Spark-expression
+    mirror, dedup._py_shingles)."""
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -91,10 +93,10 @@ def _gram_md5_rows(
             for i, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
                 for g in set(_py_shingles(text, k)):
                     ids.append(i)
-                    gs.append(hashlib.md5(g.encode("utf-8")).hexdigest())
+                    gs.append(hashlib.md5(g.encode("utf-8")).digest())
             yield pd.DataFrame({id_col: ids, "g": gs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} {id_type}, g string")
+    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} {id_type}, g binary")
 
 
 # ---------------------------------------------------------------------------
