@@ -65,7 +65,11 @@ def degenerate_convs(parsed: DataFrame) -> DataFrame:
     )
 
 
-def route_errors(parsed: DataFrame, degen: DataFrame | None = None) -> DataFrame:
+def route_errors(
+    parsed: DataFrame,
+    degen: DataFrame | None = None,
+    errors: DataFrame | None = None,
+) -> DataFrame:
     """parse_errors sink rows {path, line, error, raw} with the
     degenerate-conversation rule applied:
 
@@ -80,7 +84,10 @@ def route_errors(parsed: DataFrame, degen: DataFrame | None = None) -> DataFrame
     """
     if degen is None:
         degen = degenerate_convs(parsed)
-    errors = parsed.filter(F.col("error").isNotNull())
+    if errors is None:
+        # callers may pass (and persist) this frame so the three error
+        # subtrees below share one scan (r6; run_pipeline does)
+        errors = parsed.filter(F.col("error").isNotNull())
 
     normal = errors.join(F.broadcast(degen), "conv_id", "left_anti")
     degen_errors = errors.join(F.broadcast(degen), "conv_id", "left_semi")

@@ -133,10 +133,12 @@ def downstream(
     routed = route_records_clean(
         route_records(enrich_with_dim(parsed, dim), slow_ms=slow_ms), degen
     )
-    errors = route_errors(parsed, degen)
+    error_rows = parsed.filter(F.col("error").isNotNull())
+    errors = route_errors(parsed, degen, errors=error_rows)
     return {
         "parsed": parsed,
         "degen": degen,
+        "error_rows": error_rows,
         "routed": routed,
         "errors": errors,
         "sink_counts": agg_sink_counts(routed),
@@ -384,7 +386,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     # staged scan.  It is tiny by construction (one row per conversation
     # with no valid timestamp line), so persist + one eager fill makes
     # every broadcast a cache read (r6; guide §2.4 — share one exchange).
+    # error_rows backs THREE subtrees of the error union (normal /
+    # degen-critical / synthetic sources); persisting it (lazily — the
+    # errors job is its only consumer, and the in-memory relation fills
+    # once within that job) collapses three pruned staged scans into one
     g["degen"].persist()
+    g["error_rows"].persist()
     try:
         g["degen"].count()
         with ThreadPoolExecutor(max_workers=2) as ex:
@@ -392,6 +399,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                 f.result()  # propagate failures
     finally:
         g["degen"].unpersist()
+        g["error_rows"].unpersist()
 
     # summary inputs come from written files / footers, not extra jobs
     # (fs-abstracted: works for local dirs and remote URIs alike)
