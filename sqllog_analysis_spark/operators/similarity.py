@@ -295,6 +295,16 @@ def lsh_near_dup_pairs(
     for extra in variants[1:]:
         v = v.unionByName(extra)
 
+    # drop over-cap buckets BEFORE the Python stage: applyInPandas
+    # materializes each group as one in-memory frame, so a degenerate
+    # bucket must never reach it at 100 TB.  The count window shares the
+    # (ls, bucket) exchange the groupBy needs — no extra shuffle; the
+    # in-function guard below stays as belt-and-braces.
+    w = Window.partitionBy("ls", "bucket")
+    v = v.withColumn("_c", F.count("*").over(w)).filter(
+        F.col("_c") <= max_bucket
+    ).drop("_c")
+
     id_type = corpus.schema[id_col].dataType.simpleString()
     margin = threshold - 1e-6
 
