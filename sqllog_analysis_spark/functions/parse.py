@@ -7,9 +7,9 @@ on the same job row-at-a-time).
 
 Design: per Arrow batch, rows are split into
   - FAST PATH (the overwhelming majority): no U+FFFD, exactly one segment
-    whose header starts on the first line — handled entirely with pandas
-    vectorized string ops (C-level regex over the whole column, zero
-    per-row Python).
+    whose header starts on the first line — handled by one fused loop of
+    compiled-regex calls writing into preallocated arrays (the r6 shape;
+    the same oracle regexes, none of the pandas block machinery).
   - SLOW PATH (rare: multi-segment turns, U+FFFD repair, junk-leading
     text): delegated per-row to the pure-Python oracle state machine,
     which IS the reference semantics (oracle.py).
@@ -102,144 +102,104 @@ _EMPTY = {
 }
 
 
-def _lenient_i64(s: pd.Series, max_val: int) -> pd.Series:
-    """Vectorized Rust ``parse::<iN>().ok()``: ASCII digits only, overflow →
-    NA.  Input is a string Series (may hold NaN).
-
-    r6: the digit screen is ``isascii and isdigit`` (C string predicates)
-    instead of a regex fullmatch — exactly ``[0-9]+``: isascii rejects
-    Unicode digits (which isdigit alone would accept, unlike Rust parse),
-    isdigit rejects empty/sign/space, and the length split handles the
-    overflow tiers.  Measured ~3x faster on this hot path."""
-    vals = s.to_numpy(dtype=object, copy=False)
-    digits = pd.Series(
-        np.fromiter(
-            (isinstance(v, str) and v.isascii() and v.isdigit() for v in vals),
-            dtype=bool,
-            count=len(vals),
-        ),
-        index=s.index,
-    )
-    n_chars = s.str.len()
-    ok = digits & (n_chars <= 18)
-    out = pd.Series(pd.NA, index=s.index, dtype="Int64")
-    out[ok] = s[ok].astype("int64")
-    # 19+-digit strings: accept iff numerically within range
-    long = digits & (n_chars >= 19)
-    if long.any():
-        # all-zeros ('' after lstrip) is a valid 0, like Rust parse::<i64>()
-        vals = s[long].str.lstrip("0")
-        fit = vals.map(lambda v: v == "" or (len(v) <= 19 and int(v) <= max_val))
-        out[long[long].index[fit]] = vals[fit].map(lambda v: int(v) if v else 0).astype(
-            "int64"
-        )
-    out[out > max_val] = pd.NA
-    return out
-
-
-def _normalize(text: pd.Series) -> pd.Series:
-    """Per-line normalization (parser.rs:346-349): strip leading
-    space/tab/U+FFFD and trailing CRs from every line.
-
-    One alternation pass (r6) instead of two sequential replaces — the
-    match sets are disjoint and neither replacement (both delete) can
-    create a match for the other: removing leading [ \\t\\ufffd] cannot
-    place a \\r before \\n/end that wasn't already, and removing \\r
-    before \\n cannot create a line start followed by [ \\t\\ufffd] that
-    the first branch hasn't already consumed at that scan position.
-    Pinned by the parser fuzz parity test (tests/test_parser_fuzz.py).
-
-    (Kept as the Series-level form; the parse_batch hot loop applies the
-    same compiled ``_NORM_RE`` per value.)"""
-    return text.str.replace(_NORM_RE, "", regex=True)
+def _pint(v: str | None, max_val: int) -> int | None:
+    """Scalar Rust ``parse::<iN>().ok()``: exactly ``[0-9]+`` (ASCII —
+    ``isascii`` rejects the Unicode digits ``\\d``-matched groups can carry,
+    ``isdigit`` rejects empty/sign/space), overflow → None.  The ≥19-digit
+    tier strips leading zeros first so a zero-padded in-range value is
+    accepted without big-int work on pathological lengths; all-zeros (''
+    after lstrip) is a valid 0, like Rust parse."""
+    if v is None or not (v.isascii() and v.isdigit()):
+        return None
+    if len(v) <= 18:
+        n = int(v)
+    else:
+        w = v.lstrip("0")
+        if len(w) > 19:
+            return None
+        n = int(w) if w else 0
+    return n if n <= max_val else None
 
 
 def _fast_parse(pdf: pd.DataFrame, norm: pd.Series) -> pd.DataFrame:
-    """Single-segment turns: one vectorized header extract + metric extract.
+    """Single-segment turns: one fused loop — header extract, NULL mapping,
+    last-line metrics and int coercion per row, writing straight into
+    preallocated object arrays.
 
     ``norm`` is the normalized text; every row is guaranteed (by the
     classifier) to be exactly one segment whose first line is a valid
     timestamp line.  Flush line number = lines-in-segment + 1
     (parser.rs:359-367 quirk).
 
-    r6: the header/metrics extraction runs as direct compiled-regex loops
-    over the values instead of pandas ``.str`` accessors — the same
-    ``re.search`` calls without the per-call Series machinery (measured
-    ~35% off the fast path; semantics pinned by the grammar-class and
-    hypothesis parity tests)."""
+    r6 (second pass): the previous shape — 11 group Series + ~25
+    vectorized ``where``/``mask``/``astype`` column passes — spent more in
+    pandas block machinery than in the regexes; the fused loop runs the
+    SAME ``re.search`` calls and the same NULL/overflow rules (scalar
+    ``_pint`` mirrors the former ``_lenient_i64``, pinned value-by-value
+    by the grammar-class and hypothesis parity tests) with zero
+    intermediate Series.  Measured −26% on the batch wall (offline
+    interleaved A/B on the real corpus); output is bit-identical."""
     out = pdf[["conv_id", "turn_idx", "role", "tool", "ts"]].copy()
-    out["rec_idx"] = np.int32(0)
+    n = len(pdf)
     vals = norm.to_numpy(dtype=object, copy=False)
-    nlines = pd.Series(
-        np.fromiter((s.count("\n") for s in vals), dtype="int64", count=len(vals)),
-        index=norm.index,
-    ) + 1
-
-    # 11 header groups, re.search semantics (exactly what .str.extract did)
-    _none11 = (None,) * 11
-    groups = [
-        m.groups() if (m := oracle.HEADER_RE.search(s)) else _none11 for s in vals
-    ]
-    cols = list(zip(*groups)) if groups else [()] * 11
-    g = {
-        i: pd.Series(cols[i], index=norm.index, dtype="object") for i in range(11)
-    }
-    matched = g[0].notna()
-
-    ep = _lenient_i64(g[1], oracle.I32_MAX)
-    ok = matched & ep.notna()
-
-    def nullable(col: pd.Series) -> pd.Series:
-        return col.mask(col == "NULL")
-
-    desc = g[10]
-
-    # Rust lines().last(): drop ONE trailing \n (\n\Z semantics — NOT $,
-    # which would eat two off a "...\n\n" tail), take after the last \n,
-    # drop one trailing \r; then the metrics regex on that last line
-    def _metrics(d):
-        if d is None:
-            return _none3
-        if d.endswith("\n"):
-            d = d[:-1]
-        d = d.rsplit("\n", 1)[-1]
-        if d.endswith("\r"):
-            d = d[:-1]
-        m = oracle.METRICS_RE.search(d)
-        return m.groups() if m else _none3
-
-    _none3 = (None, None, None)
-    mcols = list(zip(*[_metrics(d) for d in desc.to_numpy(dtype=object)]))
-    m = {
-        i: pd.Series(mcols[i] if mcols else (), index=norm.index, dtype="object")
-        for i in range(3)
-    }
-
-    out["occurrence_time"] = g[0].where(ok)
-    out["ep"] = ep.where(ok)
-    out["session"] = nullable(g[2]).where(ok)
-    out["thread"] = g[3].mask(g[3] == "NULL").where(ok)  # '-1' kept
-    out["user"] = nullable(g[4]).where(ok)
-    out["trx_id"] = nullable(g[5]).where(ok)
-    out["statement"] = nullable(g[6]).where(ok)
-    out["appname"] = g[7].mask(g[7] == "").where(ok)
-    out["ip"] = g[8].mask(g[8] == "").where(ok)
-    out["sql_type"] = g[9].where(ok)
-    out["description"] = desc.where(ok)
-    out["execute_time"] = _lenient_i64(m[0], oracle.I64_MAX).where(ok)
-    out["rowcount"] = _lenient_i64(m[1], oracle.I64_MAX).where(ok)
-    out["execute_id"] = _lenient_i64(m[2], oracle.I64_MAX).where(ok)
-
-    bad = ~ok
-    err_line = nlines + 1
-    out["error"] = pd.Series(None, index=pdf.index, dtype="object")
-    if bad.any():
-        out.loc[bad, "error"] = (
-            "日志格式错误: 行" + err_line[bad].astype(str) + ": " + norm[bad]
-        )
-    out["error_class"] = pd.Series("Format", index=pdf.index).where(bad)
-    out["error_line"] = err_line.astype("Int64").where(bad)
-    out["raw"] = norm.where(bad)
+    names = (
+        "occurrence_time", "ep", "session", "thread", "user", "trx_id",
+        "statement", "appname", "ip", "sql_type", "description",
+        "execute_time", "rowcount", "execute_id",
+        "error", "error_class", "error_line", "raw",
+    )
+    cols = {k: np.empty(n, dtype=object) for k in names}
+    (occ, epv, sess, thrd, user, trx, stmt, app, ip, styp, desc,
+     et, rc, eid, err, ecls, eline, raw) = (cols[k] for k in names)
+    search = oracle.HEADER_RE.search
+    msearch = oracle.METRICS_RE.search
+    i32, i64 = oracle.I32_MAX, oracle.I64_MAX
+    for i, s in enumerate(vals):
+        m = search(s)
+        ep = _pint(m.group(2), i32) if m is not None else None
+        if ep is not None:
+            g = m.groups()
+            occ[i] = g[0]
+            epv[i] = ep
+            sess[i] = None if g[2] == "NULL" else g[2]
+            thrd[i] = None if g[3] == "NULL" else g[3]  # '-1' kept
+            user[i] = None if g[4] == "NULL" else g[4]
+            trx[i] = None if g[5] == "NULL" else g[5]
+            stmt[i] = None if g[6] == "NULL" else g[6]
+            app[i] = g[7] if g[7] else None  # '' (empty appname) → NULL
+            ip[i] = g[8] if g[8] else None
+            styp[i] = g[9]
+            d = g[10]
+            desc[i] = d
+            if d is not None:
+                # Rust lines().last(): drop ONE trailing \n (\n\Z semantics
+                # — NOT $, which would eat two off a "...\n\n" tail), take
+                # after the last \n, drop one trailing \r; then the metrics
+                # regex on that last line
+                dd = d[:-1] if d.endswith("\n") else d
+                dd = dd.rsplit("\n", 1)[-1]
+                if dd.endswith("\r"):
+                    dd = dd[:-1]
+                mt = msearch(dd)
+                if mt is not None:
+                    et[i] = _pint(mt.group(1), i64)
+                    rc[i] = _pint(mt.group(2), i64)
+                    eid[i] = _pint(mt.group(3), i64)
+        else:
+            # header mismatch or ep overflow → Format error; flush line =
+            # lines-in-segment + 1
+            nl = s.count("\n") + 2
+            err[i] = f"日志格式错误: 行{nl}: {s}"
+            ecls[i] = "Format"
+            eline[i] = nl
+            raw[i] = s
+    out["rec_idx"] = np.int64(0)
+    for k in ("occurrence_time", "session", "thread", "user", "trx_id",
+              "statement", "appname", "ip", "sql_type", "description",
+              "error", "error_class", "raw"):
+        out[k] = cols[k]
+    for k in ("ep", "execute_time", "rowcount", "execute_id", "error_line"):
+        out[k] = pd.array(cols[k], dtype="Int64")
     out["has_ts"] = True
     return out
 
@@ -285,6 +245,22 @@ def _slow_parse(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_PARSED_COLS)
 
 
+def _strictly_increasing(pdf: pd.DataFrame) -> bool:
+    """True iff (conv_id, turn_idx) is strictly increasing over the batch,
+    under exactly the comparator ``sort_values`` uses (Python ``<`` on the
+    object values).  Incomparable values (None, mixed types) → False, which
+    routes the batch to the general sort/merge path."""
+    conv = pdf["conv_id"].to_numpy(dtype=object, copy=False)
+    if len(conv) <= 1:
+        return True
+    ti = pdf["turn_idx"].to_numpy()
+    try:
+        a, b = conv[:-1], conv[1:]
+        return bool(np.all((a < b) | ((a == b) & (ti[1:] > ti[:-1]))))
+    except TypeError:
+        return False
+
+
 def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.DataFrame:
     """Parse one Arrow batch of transcript turns → parsed/error rows.
 
@@ -307,24 +283,40 @@ def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.D
     #    enforces leap years, hour<=23, ...)
     _sub = _NORM_RE.sub
     _shape_match = _TS_PREFIX_RE.fullmatch
-    _count_shape = _TS_LINE_RE.findall
-    t_list, norm_list, fast0, first23 = [], [], [], []
+    _next_shape = _TS_LINE_RE.search
+    norm_list, fast0, first23 = [], [], []
     for raw in pdf["text"].to_numpy(dtype=object, copy=False):
         s = raw if isinstance(raw, str) else ""
         if s.endswith("\n"):
             s = s[:-1]
-        n = _sub("", s)
-        t_list.append(s)
+        # normalization screen: _NORM_RE can only match if some line starts
+        # with [ \t�] (string start or right after \n) or a \r exists (the
+        # \r+(?=\n|$) branch needs one) — C substring checks, each ~10x
+        # cheaper than the regex scan they mostly avoid
+        if (
+            "\r" in s
+            or "\n " in s
+            or "\n\t" in s
+            or "\n�" in s
+            or s.startswith((" ", "\t", "�"))
+        ):
+            n = _sub("", s)
+        else:
+            n = s
         norm_list.append(n)
         p23 = n[:23]
         first23.append(p23)
+        # single-segment check: the first line already shape-matches, so a
+        # second line-start match exists iff search from pos 1 finds one
+        # ((?m)^ matches at pos i iff i==0 or n[i-1]=='\n'; pos 0 is
+        # excluded by pos=1 and the first line cannot re-match because
+        # n[0] is a digit, not '\n')
         fast0.append(
             "�" not in s
             and bool(_shape_match(p23))
             and not p23.startswith("0000")
-            and len(_count_shape(n)) == 1
+            and _next_shape(n, 1) is None
         )
-    text = pd.Series(t_list, index=pdf.index, dtype="object")
     norm = pd.Series(norm_list, index=pdf.index, dtype="object")
     first23 = pd.Series(first23, index=pdf.index, dtype="object")
     fast0 = pd.Series(fast0, index=pdf.index)
@@ -333,41 +325,83 @@ def parse_batch(pdf: pd.DataFrame, passthrough: list[str] | None = None) -> pd.D
     ).notna()
     fast = fast0 & cal_ok
 
+    # r6 (second pass): when the batch's (conv_id, turn_idx) keys are
+    # strictly increasing — guaranteed by the pipeline's ordering window,
+    # checked in O(n) — the final key sort and the passthrough hash merge
+    # collapse to integer positional ops:
+    #   * each output row's key IS its source row's key (unique per source
+    #     row) and rec_idx orders rows within a source row exactly as
+    #     emitted, so sort by (conv_id, turn_idx, rec_idx) == stable sort
+    #     by (source position, rec_idx) — an int lexsort, no object keys;
+    #   * unique keys make the (conv_id, turn_idx) merge a positional
+    #     gather, and the duplicate-key fan-out hazard cannot exist.
+    # Non-monotonic batches take the exact former path (sort + checked
+    # merge), so the dirty-input ValueError contract is unchanged.
+    strict = _strictly_increasing(pdf)
+    fmask = fast.to_numpy()
+    pos = np.arange(len(pdf))
+
     parts: list[pd.DataFrame] = []
+    part_pos: list[np.ndarray] = []
     if fast.any():
         parts.append(_fast_parse(pdf[fast], norm[fast]))
+        part_pos.append(pos[fmask])
     if (~fast).any():
-        parts.append(_slow_parse(pdf[~fast]))
-    parts = [p for p in parts if len(p)] or parts[:1]
+        sp = _slow_parse(pdf[~fast])
+        parts.append(sp)
+        # every emitted turn starts with a rec_idx==0 row, so cumsum of
+        # those boundaries maps each output row back to its source row
+        starts = sp["rec_idx"].to_numpy() == 0
+        part_pos.append(pos[~fmask][np.cumsum(starts) - 1])
+    keep = [len(p) > 0 for p in parts]
+    if any(keep):
+        parts = [p for p, k in zip(parts, keep) if k]
+        part_pos = [pp for pp, k in zip(part_pos, keep) if k]
+    else:
+        parts, part_pos = parts[:1], part_pos[:1]
     parts = [p.astype(_DERIVED_DTYPES, copy=False) for p in parts]
-    out = (
-        pd.concat(parts, ignore_index=True)
-        if len(parts) > 1
-        else parts[0].reset_index(drop=True)
-    )
+    if len(parts) > 1:
+        out = pd.concat(parts, ignore_index=True)
+        src = np.concatenate(part_pos)
+    else:
+        out = parts[0].reset_index(drop=True)
+        src = part_pos[0]
     # stable output order within the batch (conv, turn, rec)
-    out = out.sort_values(["conv_id", "turn_idx", "rec_idx"], kind="stable").reset_index(drop=True)
+    if strict:
+        order = np.lexsort((out["rec_idx"].to_numpy(), src))
+        if not np.array_equal(order, np.arange(len(order))):
+            out = out.take(order).reset_index(drop=True)
+            src = src[order]
+    else:
+        out = out.sort_values(
+            ["conv_id", "turn_idx", "rec_idx"], kind="stable"
+        ).reset_index(drop=True)
     out["ep"] = out["ep"].astype("Int32")
     out["turn_idx"] = out["turn_idx"].astype("int32")
     out["rec_idx"] = out["rec_idx"].astype("int32")
     for c in ("execute_time", "rowcount", "execute_id", "error_line"):
         out[c] = out[c].astype("Int64")
     if passthrough:
-        pt = pdf[["conv_id", "turn_idx", *passthrough]]
-        # the merge assumes (conv_id, turn_idx) is unique in the batch —
-        # the transcripts input contract.  A dirty upstream with duplicate
-        # turn keys would silently FAN OUT every parsed row per duplicate;
-        # fail loudly instead (the reference has no analog: its turn key is
-        # a file byte offset, unique by construction).
-        dup = pt.duplicated(["conv_id", "turn_idx"])
-        if dup.any():
-            k = pt[dup].iloc[0]
-            raise ValueError(
-                "duplicate turn key in transcripts input: "
-                f"(conv_id={k['conv_id']!r}, turn_idx={int(k['turn_idx'])}) — "
-                "(conv_id, turn_idx) must be unique per conversation"
-            )
-        out = out.merge(pt, on=["conv_id", "turn_idx"], how="left")
+        if strict:
+            ptv = pdf[passthrough].iloc[src].reset_index(drop=True)
+            for c in passthrough:
+                out[c] = ptv[c]
+        else:
+            pt = pdf[["conv_id", "turn_idx", *passthrough]]
+            # the merge assumes (conv_id, turn_idx) is unique in the batch —
+            # the transcripts input contract.  A dirty upstream with duplicate
+            # turn keys would silently FAN OUT every parsed row per duplicate;
+            # fail loudly instead (the reference has no analog: its turn key is
+            # a file byte offset, unique by construction).
+            dup = pt.duplicated(["conv_id", "turn_idx"])
+            if dup.any():
+                k = pt[dup].iloc[0]
+                raise ValueError(
+                    "duplicate turn key in transcripts input: "
+                    f"(conv_id={k['conv_id']!r}, turn_idx={int(k['turn_idx'])}) — "
+                    "(conv_id, turn_idx) must be unique per conversation"
+                )
+            out = out.merge(pt, on=["conv_id", "turn_idx"], how="left")
     return out[out_cols]
 
 
