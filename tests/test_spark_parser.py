@@ -106,6 +106,48 @@ def test_empty_input(spark):
     assert parse_transcripts(sdf).count() == 0
 
 
+def test_parse_batch_strict_path_equals_general_path(monkeypatch):
+    """r6: a batch whose (conv_id, turn_idx) keys are strictly increasing
+    (the pipeline's ordering-window shape) skips the object-key sort and
+    the passthrough hash merge for integer positional ops.  Both paths
+    must produce IDENTICAL frames — values, dtypes AND row order — on the
+    same ordered input; forcing the general path via _strictly_increasing
+    pins that on a corpus with multi-record and slow-path turns."""
+    from sqllog_analysis_spark.functions import parse as P
+
+    df = (
+        generate_transcripts(2500, 42)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df["turn_seq"] = df.groupby("conv_id").cumcount() + 1
+    assert P._strictly_increasing(df)
+    got_strict = parse_batch(df, passthrough=["turn_seq"])
+    monkeypatch.setattr(P, "_strictly_increasing", lambda _: False)
+    got_general = parse_batch(df, passthrough=["turn_seq"])
+    pd.testing.assert_frame_equal(got_strict, got_general)
+
+
+def test_pint_matches_oracle_parse_int_strict():
+    """The fused fast path's scalar int coercion must agree with the
+    oracle's Rust-parse mirror on every tier: plain, zero-padded,
+    overflow at both widths, empty/sign/space, Unicode digits."""
+    from sqllog_analysis_spark.functions.parse import _pint
+
+    cases = [
+        "0", "7", "007", str(oracle.I32_MAX), str(oracle.I32_MAX + 1),
+        str(oracle.I64_MAX), str(oracle.I64_MAX + 1), "0" * 30,
+        "0" * 30 + "5", "1" * 25, "", "-1", "+1", " 1", "1 ", "1_0",
+        "١٢٣", "5.0", "١" * 20, "9" * 18, "9" * 19, "0" * 18 + "9" * 19,
+    ]
+    for max_val in (oracle.I32_MAX, oracle.I64_MAX):
+        for s in cases:
+            assert _pint(s, max_val) == oracle._parse_int_strict(s, max_val), (
+                s, max_val
+            )
+    assert _pint(None, oracle.I64_MAX) is None
+
+
 def test_duplicate_turn_key_fails_loudly():
     """The passthrough re-attach merges on (conv_id, turn_idx); a dirty
     upstream with duplicate turn keys must raise, not silently fan out
