@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from sqllog_analysis_spark.functions.text import bind_once
 from sqllog_analysis_spark.operators.dedup import _shingles, _spread_compact_input
 
 
@@ -103,14 +104,57 @@ def _gram_md5_rows(
 # Gopher-style repetition metrics
 # ---------------------------------------------------------------------------
 
-def _gram_occurrence_counts(grams: Column) -> Column:
-    """For each distinct gram, how many times it occurs in ``grams``.
-    Pure higher-order functions (whole-stage codegen); O(u·n) per doc in
-    (unique, total) grams, so callers bound doc length via max_tokens."""
-    return F.transform(
-        F.array_distinct(grams),
-        lambda d: F.size(F.filter(grams, lambda x: x == d)),
-    )
+def _max_multiplicity(grams: Column) -> Column:
+    """Largest occurrence count of any element — the longest equal-run in
+    the sorted array, which is the maximum multiset multiplicity by
+    definition.  One O(n log n) sort + one O(n) aggregate fold over the
+    ONCE-BOUND sorted array (r6: the former per-distinct-element
+    ``size(filter(grams, ...))`` re-evaluated the whole gram-building
+    expression per element — O(u·n) array REBUILDS, not comparisons)."""
+
+    def body(s: Column) -> Column:
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run2 = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1)
+            )
+            return F.struct(
+                x.alias("prev"),
+                run2.alias("run"),
+                F.greatest(acc["best"], run2).alias("best"),
+            )
+
+        return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+    return bind_once(F.array_sort(grams), body)
+
+
+def _repeated_occurrence_count(grams: Column) -> Column:
+    """Number of occurrences whose element appears ≥2 times in ``grams``
+    — counted as sorted elements equal to a neighbor (an occurrence's
+    value repeats iff, after sorting, it equals the previous or next
+    element).  O(n log n) + O(n) over the once-bound sorted array; the
+    index guards short-circuit (Spark ``And``) so ``element_at`` only
+    sees indices 1..m."""
+
+    def body(s: Column) -> Column:
+        m = F.size(s)
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(1), m),
+                lambda i: (
+                    (i < m) & (F.element_at(s, i) == F.element_at(s, i + 1))
+                )
+                | ((i > 1) & (F.element_at(s, i - 1) == F.element_at(s, i))),
+            )
+        )
+
+    return bind_once(F.array_sort(grams), body)
 
 
 def repetition_metrics(
@@ -148,14 +192,15 @@ def repetition_metrics(
     # "no repetition evidence", not top-gram fraction 1.0
     top2 = F.when(
         n_w >= 2,
-        F.array_max(_gram_occurrence_counts(g2)).cast("double") / F.size(g2),
+        _max_multiplicity(g2).cast("double") / F.size(g2),
     ).otherwise(F.lit(0.0))
+    # dup3 counts occurrences whose 3-gram appears ≥2 times — the former
+    # nested filter(g3, x -> size(filter(g3, y==x)) >= 2) re-evaluated
+    # the gram-building chain per element (r6: 75 s for 5k docs under a
+    # noop sink); the sorted-neighbor count is the same number
     dup3 = F.when(
         n_w >= 3,
-        F.size(
-            F.filter(g3, lambda x: F.size(F.filter(g3, lambda y: y == x)) >= 2)
-        ).cast("double")
-        / F.size(g3),
+        _repeated_occurrence_count(g3).cast("double") / F.size(g3),
     ).otherwise(F.lit(0.0))
     return df.withColumns(
         {
@@ -168,14 +213,21 @@ def repetition_metrics(
 
 def _shingles_of(text_expr: Column, k: int) -> Column:
     """k-word shingles of an arbitrary text EXPRESSION (dedup._shingles
-    takes a column name; this takes the already-built expression)."""
-    toks = F.split(text_expr, " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    takes a column name; this takes the already-built expression).
+
+    The token split is bound once (r6): the shingle transform's lambda
+    otherwise re-splits the whole text per gram position — O(n²) in
+    document length."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return bind_once(F.split(text_expr, " "), body)
 
 
 def repetition_filter(
@@ -287,18 +339,25 @@ def passage_stats(
     map-side so 32-byte keys shuffle, never the text.
     """
     df = _spread_compact_input(df)
-    toks = _tokens(text_col)
-    n_p = F.floor(F.size(toks) / passage_tokens).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_p - 1, F.lit(0)))
-    passages = F.when(
-        n_p >= 1,
-        F.transform(
-            idx,
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks, i * passage_tokens + 1, passage_tokens))
+
+    def _passages(toks: Column) -> Column:
+        # token split bound once (r6): the per-passage lambda otherwise
+        # re-splits the whole text per passage — O(n²/passage_tokens)
+        n_p = F.floor(F.size(toks) / passage_tokens).cast("int")
+        idx = F.sequence(F.lit(0), F.greatest(n_p - 1, F.lit(0)))
+        return F.when(
+            n_p >= 1,
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(toks, i * passage_tokens + 1, passage_tokens)
+                    )
+                ),
             ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    passages = bind_once(_tokens(text_col), _passages)
     per_passage = df.select(
         F.col(id_col), F.explode(F.array_distinct(passages)).alias("fp")
     )
@@ -344,21 +403,28 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = _tokens(text_col)
-    n = F.size(toks)
-    starts = F.when(
-        F.trim(F.col(text_col)) == "", F.expr("CAST(array() AS array<int>)")
-    ).otherwise(
-        F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
-    )
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_idx"),
-            F.least(F.lit(chunk_tokens), n - s).alias("n_chunk_tokens"),
-            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
-        ),
-    )
+
+    def _chunks(toks: Column) -> Column:
+        # token split bound once (r6): the per-chunk lambda otherwise
+        # re-splits the whole text per chunk — O(n²/stride)
+        n = F.size(toks)
+        starts = F.when(
+            F.trim(F.col(text_col)) == "", F.expr("CAST(array() AS array<int>)")
+        ).otherwise(
+            F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.least(F.lit(chunk_tokens), n - s).alias("n_chunk_tokens"),
+                F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+
+    chunks = bind_once(_tokens(text_col), _chunks)
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_idx", "c.n_chunk_tokens", "c.chunk_text"
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from sqllog_analysis_spark.functions.text import fingerprint
+from sqllog_analysis_spark.functions.text import bind_once, fingerprint
 
 
 def _parse_byte_conf(s: str) -> int:
@@ -101,14 +101,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _shingles(text_col: str, k: int) -> F.Column:
-    """k-word shingles of lowercased whitespace-tokenized text."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    """k-word shingles of lowercased whitespace-tokenized text.
+
+    The token split is bound once via :func:`bind_once` (r6): the shingle
+    transform's lambda body otherwise re-evaluates the whole-text split
+    per gram position — O(n²) in document length."""
+
+    def body(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return bind_once(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), body)
 
 
 # Java \s is the ASCII class [ \t\n\x0B\f\r]; Python's \s is Unicode-wide,
