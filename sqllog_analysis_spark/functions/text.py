@@ -134,12 +134,44 @@ def winnow_fingerprints(
     produce one window over all elements in both forms (missing shifted
     slots arrive as zip_with's null padding, which ``least`` skips).
     """
-    t = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
-    n = F.length(t)
-    gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    grams = F.transform(
-        gram_idx,
-        lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, hash_len),
+    # Gram build is O(n·k) over a ONCE-BOUND per-code-point char array.
+    # The former ``substring(t, i, k)`` per gram position walks the UTF8
+    # byte buffer from the start on every call (code-point indexing), an
+    # O(n²) byte scan per document on top of the lambda re-evaluating the
+    # O(n) normalization itself — together the build-side twins of the
+    # window-minima quadratic.  ``split(t, '')`` yields one element per
+    # code point (Java zero-width matches advance by code point, so
+    # surrogate pairs stay whole — pinned on an adversarial corpus incl.
+    # astral-plane emoji); the ``slice(…, 1, length(t))`` drops the
+    # trailing empty element Spark's limit=-1 split keeps, making the
+    # array length exactly the code-point count.  Explicit branches
+    # reproduce the substring formulation's edges: NULL text → [NULL]
+    # (greatest() skips nulls, so the old gram_idx was [1] and the gram
+    # NULL), empty text → one md5('') gram.
+    def build_grams(t: Column) -> Column:
+        def from_chars(ch: Column) -> Column:
+            m = F.size(ch)
+            gram_idx = F.sequence(F.lit(1), F.greatest(m - (k - 1), F.lit(1)))
+            return F.transform(
+                gram_idx,
+                lambda i: F.substring(
+                    F.md5(F.concat_ws("", F.slice(ch, i, k))), 1, hash_len
+                ),
+            )
+
+        return (
+            F.when(t.isNull(), F.array(F.lit(None).cast("string")))
+            .when(
+                F.length(t) == 0,
+                F.array(F.substring(F.md5(F.lit("")), 1, hash_len)),
+            )
+            .otherwise(
+                bind_once(F.slice(F.split(t, ""), 1, F.length(t)), from_chars)
+            )
+        )
+
+    grams = bind_once(
+        F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), build_grams
     )
 
     def mins(g: Column) -> Column:

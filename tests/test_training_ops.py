@@ -1175,3 +1175,56 @@ def test_lsh_near_dup_numpy_matches_join(spark):
     two = SIM.lsh_near_dup_pairs(emb, dim=64, threshold=0.2, bits=6, seed=42,
                                  max_bucket=50, seeds=2).count()
     assert two >= one
+
+
+def test_winnow_fingerprints_matches_substring_reference(spark):
+    """The r6 char-array winnowing (split-per-code-point + bound arrays,
+    O(n·k)) must equal the original substring/array_min formulation —
+    kept here as the executable spec — on adversarial text: NULL, empty,
+    short-of-k, whitespace runs, Unicode incl. astral-plane surrogate
+    pairs, and long repetitive text."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from sqllog_analysis_spark.functions.text import winnow_fingerprints
+
+    k, w, hash_len = 5, 4, 16
+
+    def reference(col):
+        t = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+        n = F.length(t)
+        gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        grams = F.transform(
+            gram_idx,
+            lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, hash_len),
+        )
+        n_g = F.size(grams)
+        win_idx = F.sequence(F.lit(1), F.greatest(n_g - (w - 1), F.lit(1)))
+        mins = F.transform(win_idx, lambda j: F.array_min(F.slice(grams, j, w)))
+        return F.array_sort(F.array_distinct(mins))
+
+    cases = [
+        None, "", " ", "a", "ab", "abcd", "abcde", "abcdef",
+        "hello world this is a normal sentence",
+        "  leading and trailing   ",
+        "tab\tand\nnewline mix",
+        "unicode: café naïve 中文字符",
+        "emoji \U0001F600\U0001F680 pair test \U0001F600x",
+        "a" * 300,
+        ("xyz " * 100).strip(),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", winnow_fingerprints("text", k=k, w=w, hash_len=hash_len).alias("fp")
+        ).collect()
+    }
+    want = {
+        r["id"]: r["fp"]
+        for r in df.select("id", reference("text").alias("fp")).collect()
+    }
+    assert got == want
